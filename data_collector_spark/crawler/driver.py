@@ -1,0 +1,107 @@
+"""Crawl driver loop — the reference's DAG scheduler, re-expressed.
+
+The reference validates and Kahn-executes a task DAG
+(/root/reference/src/dag_schedule/schedule.rs:106-296). Here the DAG is
+control flow, so it becomes an ordered driver-side loop of Spark job chains
+(SURVEY.md D1-D9): round N's outputs are round N+1's inputs, each round
+commits one snapshot, and execution mode RepeatLimited(count)
+(/root/reference/src/dag_schedule/task.rs:49-55) is ``max_rounds``.
+
+Resume: ``run_crawl`` on an existing workdir drops crash debris past the
+last committed round and continues — the analog of resuming from
+``max(business_date)`` (/root/reference/src/actions/collect/
+polygon_grouped_daily.rs:150-156).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.round import run_round
+from data_collector_spark.crawler.state import CrawlState, RoundMetrics
+from data_collector_spark.functions.urls import with_canonical_url
+from data_collector_spark.operators.bloom import ShardedBloom
+
+SEED_EPOCH = datetime(2024, 1, 1)
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 5
+    default_budget: int = 2
+    skew_salt: int = 16
+    use_bloom: bool = True
+    bloom_shards: int = 16
+    bloom_bits: int = 1 << 22
+    bloom_k: int = 7
+
+    def make_bloom(self) -> ShardedBloom | None:
+        if not self.use_bloom:
+            return None
+        return ShardedBloom(self.bloom_shards, self.bloom_bits, self.bloom_k)
+
+    def load_bloom(self, dirpath: str) -> ShardedBloom | None:
+        if not self.use_bloom:
+            return None
+        return ShardedBloom.load(dirpath, self.bloom_shards, self.bloom_bits, self.bloom_k)
+
+
+def init_crawl(
+    spark: SparkSession, state: CrawlState, seeds: DataFrame, cfg: CrawlConfig
+) -> None:
+    """Round-0 state: canonicalized deduped seeds as frontier and seen."""
+    f0 = (
+        with_canonical_url(seeds, "url")
+        .dropDuplicates(["url_sha1"])
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovery_ts", F.lit(SEED_EPOCH))
+        .withColumn(
+            "priority",
+            F.coalesce(F.col("priority"), F.lit(0)) if "priority" in seeds.columns else F.lit(0),
+        )
+        .select("url_canon", "url_sha1", "host", "depth", "discovery_ts", "priority")
+    )
+    state.write_round("frontier", 0, f0)
+    seen0 = state.read_round(spark, "frontier", 0).select("url_sha1", "url_canon")
+    state.write_round("seen", 0, seen0)
+    bloom = cfg.make_bloom()
+    if bloom is not None:
+        bloom.add_df(state.read_round(spark, "seen", 0))
+        bloom.save(state.bloom_dir())
+    state.commit(-1, None, extra={"initialized": True})
+
+
+def run_crawl(
+    spark: SparkSession,
+    workdir: str,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    budgets: DataFrame,
+    cfg: CrawlConfig | None = None,
+) -> list[RoundMetrics]:
+    """Run (or resume) a crawl to max_rounds or frontier exhaustion."""
+    cfg = cfg or CrawlConfig()
+    state = CrawlState(workdir)
+    if state.read() is None:
+        init_crawl(spark, state, seeds, cfg)
+    else:
+        state.drop_uncommitted()
+    bloom = cfg.load_bloom(state.bloom_dir())
+
+    metrics: list[RoundMetrics] = []
+    start = state.last_committed_round() + 1  # type: ignore[operator]
+    for n in range(start, cfg.max_rounds):
+        if state.read_round(spark, "frontier", n).limit(1).count() == 0:
+            break
+        m = run_round(
+            spark, state, pages, robots, budgets, bloom, n,
+            default_budget=cfg.default_budget, skew_salt=cfg.skew_salt,
+        )
+        state.commit(n, m)
+        metrics.append(m)
+    return metrics

@@ -1,0 +1,168 @@
+"""One crawl round — the engine's inner loop.
+
+Spark re-expression of one collector pass (SURVEY.md §3.2, the
+PolygonGroupedDailyCollector archetype at /root/reference/src/actions/
+collect/polygon_grouped_daily.rs:141-220): checkpoint read -> budget
+acquisition -> fetch loop -> transform -> dedup sink -> advance, but as one
+declarative DataFrame plan per stage with a snapshot commit at the end.
+
+Stages (all lazy until the writes):
+ 1. frontier_N scan (partition-pruned: one round=N directory)
+ 2. robots broadcast anti-filter             (warden, J6/R6)
+ 3. politeness wave pop, skew-salted window  (W1-W3, R1-R5)
+ 4. "fetch" = broadcast-join the wave against the pages corpus — the wave
+    is bounded by sum(host budgets), so it broadcasts; the 100 TB side
+    streams by with partition pruning on its (bucket(url), days(warc_ts))
+    layout, never shuffling
+ 5. extract text + links, one Arrow pass     (S3/F12 + byte-identical rule)
+ 6. within-round dedup (groupBy url_sha1, deterministic min) then
+    Bloom-prefiltered anti-join vs seen      (J5/S7)
+ 7. write fetch_log / pages_out / frontier_{N+1} / seen delta; update
+    Bloom shards; commit metrics (D9 ExecutionStats analog)
+
+The Bloom update lands *before* the manifest commit: a crash in between
+leaves extra bits set, which only causes false positives — and every
+positive is re-checked by the exact anti-join, so correctness holds.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.state import (
+    FETCH_LOG_SCHEMA,
+    FRONTIER_SCHEMA,
+    CrawlState,
+    RoundMetrics,
+)
+from data_collector_spark.functions.extract import with_extracted
+from data_collector_spark.functions.urls import with_canonical_url
+from data_collector_spark.operators.bloom import ShardedBloom
+from data_collector_spark.operators.politeness import pop_wave
+from data_collector_spark.operators.robots import split_robots
+from data_collector_spark.operators.seen import dedup_against_seen
+
+PAGES_OUT_SCHEMA = (
+    "url_canon string, url_sha1 string, host string, depth int, seq_in_host int, "
+    "warc_ts timestamp, extracted_text string, links array<string>"
+)
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    robots: DataFrame,
+    budgets: DataFrame,
+    bloom: ShardedBloom | None,
+    round_n: int,
+    default_budget: int = 2,
+    skew_salt: int = 16,
+) -> RoundMetrics:
+    """Execute round N and write (but not commit) all round outputs.
+
+    ``pages`` must carry url_canon, html, warc_ts, text, lang.
+    """
+    t0 = time.monotonic()
+    m = RoundMetrics(round=round_n)
+
+    frontier_n = state.read_round(spark, "frontier", round_n, FRONTIER_SCHEMA)
+    allowed, blocked = split_robots(frontier_n, robots)
+
+    wave, deferred = pop_wave(allowed, budgets, default_budget, skew_salt)
+    wave = wave.persist()
+    m.robots_blocked = blocked.count()
+
+    # fetch + extract, one Arrow pass, written once and re-read for fan-out
+    hits = pages.join(
+        F.broadcast(wave.select("url_canon", "url_sha1", "host", "depth", "seq_in_host")),
+        "url_canon",
+        "inner",
+    )
+    extracted = with_extracted(hits).select(
+        "url_canon", "url_sha1", "host", "depth", "seq_in_host",
+        "warc_ts", "extracted_text", "links",
+    )
+    state.write_round("pages_out", round_n, extracted)
+    fetched = state.read_round(spark, "pages_out", round_n, PAGES_OUT_SCHEMA)
+    m.fetched = fetched.count()
+
+    # fetch_log: per-host ordering lineage (replay-equivalence invariant)
+    dead = wave.join(F.broadcast(fetched.select("url_sha1")), "url_sha1", "left_anti")
+    log = (
+        fetched.select("url_canon", "url_sha1", "host", "seq_in_host")
+        .withColumn("status", F.lit("fetched"))
+        .unionByName(
+            dead.select("url_canon", "url_sha1", "host", "seq_in_host").withColumn(
+                "status", F.lit("dead")
+            )
+        )
+        .unionByName(
+            blocked.select("url_canon", "url_sha1", "host")
+            .withColumn("seq_in_host", F.lit(None).cast("int"))
+            .withColumn("status", F.lit("robots")),
+        )
+    )
+    state.write_round("fetch_log", round_n, log)
+    m.dead = wave.count() - m.fetched
+
+    # link extraction -> next-generation candidates
+    links = fetched.select(
+        F.col("depth").alias("parent_depth"),
+        F.col("warc_ts").alias("parent_ts"),
+        F.explode("links").alias("url"),
+    )
+    cand = with_canonical_url(links, "url")
+    m.links_extracted = links.count()
+    # within-round dedup: deterministic min over (depth, ts) per key (J5)
+    cand_unique = (
+        cand.groupBy("url_sha1")
+        .agg(
+            F.min(F.struct("parent_depth", "parent_ts", "url_canon")).alias("_m"),
+        )
+        .select(
+            F.col("_m.url_canon").alias("url_canon"),
+            "url_sha1",
+            (F.col("_m.parent_depth") + 1).alias("depth"),
+            F.col("_m.parent_ts").alias("discovery_ts"),
+        )
+        .withColumn("host", F.regexp_extract("url_canon", r"^[a-z0-9+.\-]+://([^/:?#]+)", 1))
+        .withColumn("priority", F.lit(1))
+    )
+    seen_all = state.read_all(spark, "seen")
+    new_entries = dedup_against_seen(
+        spark, cand_unique, seen_all.select("url_sha1") if seen_all is not None else None, bloom
+    ).persist()
+
+    frontier_cols = ["url_canon", "url_sha1", "host", "depth", "discovery_ts", "priority"]
+    frontier_next = deferred.select(*frontier_cols).unionByName(
+        new_entries.select(*frontier_cols)
+    )
+    state.write_round("frontier", round_n + 1, frontier_next)
+    state.write_round("seen", round_n + 1, new_entries.select("url_sha1", "url_canon"))
+
+    seen_delta = state.read_round(spark, "seen", round_n + 1, "url_sha1 string, url_canon string")
+    m.enqueued = seen_delta.count()
+    uniq = cand_unique.count()
+    m.deduped = uniq - m.enqueued
+    frontier_total = state.read_round(spark, "frontier", round_n + 1, FRONTIER_SCHEMA).count()
+    m.deferred_by_politeness = frontier_total - m.enqueued
+
+    if bloom is not None:
+        if m.enqueued:
+            bloom.add_df(seen_delta)
+        bloom.save(state.bloom_dir())
+
+    # per-partition lineage: fetched rows per host (bounded: top 50)
+    top = (
+        fetched.groupBy("host").count().orderBy(F.desc("count"), "host").limit(50).collect()
+    )
+    m.per_partition = {r["host"]: r["count"] for r in top}
+
+    wave.unpersist()
+    new_entries.unpersist()
+    m.wall_sec = round(time.monotonic() - t0, 3)
+    return m

@@ -1,0 +1,137 @@
+"""Crawl checkpoint state — the resume mechanism.
+
+The reference resumes from the data itself: ``select max(business_date)``
+(/root/reference/src/actions/collect/polygon_grouped_daily.rs:150-156) and
+``is_staged`` flags. Here every round commits one *snapshot*: all round-N
+outputs land in ``<table>/round=N/`` directories first, then the JSON state
+file is atomically replaced (tmp + os.replace) — the commit point. A crash
+mid-round leaves round>last_committed directories that resume simply
+deletes and re-runs (idempotent, mirroring ON CONFLICT DO NOTHING —
+decision record /root/reference/documentation/decisions/
+03-idempotent-actions.md).
+
+In production these tables are Iceberg (`writeTo(...).append()` gives the
+same snapshot-isolation + time-travel); the runtime here has no Iceberg
+jars, so the snapshot commit is this explicit manifest. The interface —
+append round partition, read as-of round — is the Iceberg one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("frontier", "seen", "fetch_log", "pages_out")
+
+FRONTIER_SCHEMA = (
+    "url_canon string, url_sha1 string, host string, depth int, "
+    "discovery_ts timestamp, priority int"
+)
+SEEN_SCHEMA = "url_sha1 string, url_canon string"
+FETCH_LOG_SCHEMA = (
+    "url_canon string, url_sha1 string, host string, seq_in_host int, status string"
+)
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    fetched: int = 0
+    dead: int = 0
+    robots_blocked: int = 0
+    deferred_by_politeness: int = 0
+    links_extracted: int = 0
+    deduped: int = 0          # dropped as already-seen (incl. within-round dups)
+    enqueued: int = 0         # new frontier entries
+    wall_sec: float = 0.0
+    per_partition: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {k: v for k, v in self.__dict__.items()}
+
+
+class CrawlState:
+    """Round-partitioned parquet tables + an atomically-committed manifest."""
+
+    def __init__(self, workdir: str):
+        self.workdir = workdir
+        self.state_path = os.path.join(workdir, "crawl_state.json")
+
+    # ---- manifest -------------------------------------------------------
+    def read(self) -> dict | None:
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def commit(self, last_round: int, metrics: RoundMetrics | None = None, extra: dict | None = None) -> None:
+        st = self.read() or {"rounds": []}
+        st["last_round"] = last_round
+        if metrics is not None:
+            st["rounds"] = [r for r in st["rounds"] if r["round"] != metrics.round]
+            st["rounds"].append(metrics.as_dict())
+            st["rounds"].sort(key=lambda r: r["round"])
+        if extra:
+            st.update(extra)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f, indent=1)
+        os.replace(tmp, self.state_path)  # atomic commit point
+
+    def last_committed_round(self) -> int | None:
+        st = self.read()
+        return None if st is None else st["last_round"]
+
+    # ---- tables ----------------------------------------------------------
+    def _dir(self, table: str, round_n: int | None = None) -> str:
+        base = os.path.join(self.workdir, table)
+        return base if round_n is None else os.path.join(base, f"round={round_n}")
+
+    def write_round(self, table: str, round_n: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._dir(table, round_n))
+
+    def read_round(self, spark: SparkSession, table: str, round_n: int, schema: str | None = None) -> DataFrame:
+        path = self._dir(table, round_n)
+        reader = spark.read
+        if schema:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
+
+    def read_all(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """All committed rounds; the round=N dirs surface as a `round` column."""
+        base = self._dir(table)
+        if not os.path.isdir(base) or not any(
+            e.startswith("round=") for e in os.listdir(base)
+        ):
+            return None
+        return spark.read.option("basePath", base).parquet(base)
+
+    def has_round(self, table: str, round_n: int) -> bool:
+        d = self._dir(table, round_n)
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def drop_uncommitted(self) -> None:
+        """Delete any round dirs newer than the committed round (crash debris)."""
+        last = self.last_committed_round()
+        for table in TABLES:
+            base = self._dir(table)
+            if not os.path.isdir(base):
+                continue
+            for entry in os.listdir(base):
+                if not entry.startswith("round="):
+                    continue
+                n = int(entry.split("=", 1)[1])
+                # round N writes frontier/round=N+1 and seen/round=N+1 before
+                # committing last_round=N; init writes both at round 0
+                limit = (last if last is not None else -1) + (
+                    1 if table in ("frontier", "seen") else 0
+                )
+                if n > limit:
+                    shutil.rmtree(os.path.join(base, entry))
+
+    def bloom_dir(self) -> str:
+        return os.path.join(self.workdir, "bloom")

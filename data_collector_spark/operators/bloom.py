@@ -1,0 +1,148 @@
+"""Partition-sharded Bloom filter over the URL-seen set.
+
+The reference gets dedup for free from Postgres PKs
+(``ON CONFLICT DO NOTHING``, /root/reference/src/actions/collect/
+nyse_events.rs:145-156). At a 10^10-URL frontier the exact seen set is
+hundreds of GB, so the anti-join that replaces the PK gets an approximate
+*pre*-filter (north_rule): a Bloom filter sharded by sha1-derived key so
+
+- each shard is built executor-side (one ``applyInPandas`` group per
+  shard -> one bitmap row), only S tiny bitmap rows reach the driver;
+- shards merge incrementally per round (bitwise OR) and persist as .npy
+  next to the crawl checkpoint, so resume restores them;
+- no false negatives: a candidate missing from the filter is *definitely
+  new* and skips the exact anti-join entirely; only maybe-seen candidates
+  (true dups + false positives) pay the shuffle against the seen table.
+
+Sizing: bits_per_shard is a constructor knob. Sandbox default 2^22 bits x
+16 shards = 8 MiB (fp ~1% at ~4M keys). At 10^10 keys: 256 shards x 2^32
+bits = 128 GiB total is infeasible to broadcast whole — there you broadcast
+only the shards a partition needs (keys are shard-partitioned first) or
+rebuild with more shards; the shard abstraction here is exactly that unit.
+
+Hash scheme (all JVM-side until the bitmap probe): url_sha1 hex ->
+h1 = first 15 hex digits, h2 = next 15 (``conv(hex,16,10)``, 60-bit ints),
+probe positions (h1 + i*h2) mod m for i<k (Kirsch-Mitzenmacher).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_U64 = np.uint64
+
+
+def add_hash_cols(df: DataFrame, sha_col: str = "url_sha1", n_shards: int = 16) -> DataFrame:
+    """h1/h2/shard derived from the sha1 hex, JVM-side (codegen, no UDF)."""
+    h1 = F.conv(F.substring(sha_col, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(sha_col, 16, 15), 16, 10).cast("long")
+    return (
+        df.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int"))
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, mask: int) -> np.ndarray:
+    """(len, k) probe positions; vectorized."""
+    h1 = h1.astype(_U64)
+    h2 = h2.astype(_U64)
+    return np.stack(
+        [(h1 + _U64(i) * h2) & _U64(mask) for i in range(k)], axis=1
+    )
+
+
+class ShardedBloom:
+    def __init__(self, n_shards: int = 16, bits_per_shard: int = 1 << 22, k: int = 7):
+        assert bits_per_shard & (bits_per_shard - 1) == 0, "bits must be power of two"
+        self.n_shards = n_shards
+        self.m = bits_per_shard
+        self.k = k
+        self.bitmaps: dict[int, np.ndarray] = {}
+
+    def _empty(self) -> np.ndarray:
+        return np.zeros(self.m // 64, dtype=_U64)
+
+    # ---- build / merge -------------------------------------------------
+    def add_df(self, df: DataFrame, sha_col: str = "url_sha1") -> None:
+        """Build per-shard delta bitmaps executor-side and OR them in.
+
+        One applyInPandas group per shard -> exactly n_shards rows cross
+        to the driver (bitmap bytes), never the keys themselves.
+        """
+        keyed = add_hash_cols(df.select(sha_col), sha_col, self.n_shards)
+        m, k, words = self.m, self.k, self.m // 64
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros(words, dtype=_U64)
+            pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m - 1)
+            idx = (pos >> 6).ravel()
+            bit = (_U64(1) << (pos & _U64(63))).ravel()
+            np.bitwise_or.at(arr, idx, bit)
+            return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])], "bitmap": [arr.tobytes()]})
+
+        rows = (
+            keyed.groupBy("_shard")
+            .applyInPandas(build, schema="shard int, bitmap binary")
+            .collect()
+        )
+        for r in rows:
+            delta = np.frombuffer(r["bitmap"], dtype=_U64)
+            if r["shard"] in self.bitmaps:
+                self.bitmaps[r["shard"]] = self.bitmaps[r["shard"]] | delta
+            else:
+                self.bitmaps[r["shard"]] = delta.copy()
+
+    # ---- probe ---------------------------------------------------------
+    def with_maybe_seen(
+        self, spark: SparkSession, df: DataFrame, sha_col: str = "url_sha1",
+        out_col: str = "maybe_seen",
+    ) -> DataFrame:
+        """Add bool out_col; False => definitely new (no false negatives)."""
+        if not self.bitmaps:
+            return df.withColumn(out_col, F.lit(False))
+        bc = spark.sparkContext.broadcast({s: b.copy() for s, b in self.bitmaps.items()})
+        m, k, n_shards = self.m, self.k, self.n_shards
+
+        @F.pandas_udf(T.BooleanType())
+        def probe(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+            maps = bc.value
+            out = np.zeros(len(h1), dtype=bool)
+            sh = shard.to_numpy()
+            h1v = h1.to_numpy()
+            h2v = h2.to_numpy()
+            for s in np.unique(sh):
+                bm = maps.get(int(s))
+                if bm is None:
+                    continue
+                sel = sh == s
+                pos = _positions(h1v[sel], h2v[sel], k, m - 1)
+                bits = (bm[pos >> 6] >> (pos & _U64(63))) & _U64(1)
+                out[sel] = bits.all(axis=1)
+            return pd.Series(out)
+
+        keyed = add_hash_cols(df, sha_col, n_shards)
+        return keyed.withColumn(out_col, probe("_h1", "_h2", "_shard")).drop(
+            "_h1", "_h2", "_shard"
+        )
+
+    # ---- persistence (resume-from-checkpoint) ---------------------------
+    def save(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        for s, b in self.bitmaps.items():
+            np.save(os.path.join(dirpath, f"shard-{s:04d}.npy"), b)
+
+    @classmethod
+    def load(cls, dirpath: str, n_shards: int = 16, bits_per_shard: int = 1 << 22, k: int = 7) -> "ShardedBloom":
+        bf = cls(n_shards, bits_per_shard, k)
+        if os.path.isdir(dirpath):
+            for fn in os.listdir(dirpath):
+                if fn.startswith("shard-") and fn.endswith(".npy"):
+                    bf.bitmaps[int(fn[6:10])] = np.load(os.path.join(dirpath, fn))
+        return bf

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the crawler engine.
+
+Local mode here; on a real cluster the same conf applies minus ``master``.
+AQE is on everywhere (skew joins, partition coalescing) — the reference has
+no skew handling because its cursor walks one key at a time
+(/root/reference/src/database/master_data_service.rs:77-90); at 10^10-URL
+scale skew is handled by AQE + host-salted windows (operators/politeness.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-collector-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: thread count for local[N]; default env SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: default 2x cores (local shuffles are cheap, small
+    partitions keep AQE coalescing effective).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        n = (os.cpu_count() or 8) if str(cores) == "*" else int(cores)
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,8 @@
+from data_collector_spark.sources.generator import (  # noqa: F401
+    synth_pages,
+    synth_seeds,
+    synth_robots,
+    synth_politeness,
+    pages_from_documents,
+)
+from data_collector_spark.sources.tables import load_table, TABLES  # noqa: F401

@@ -1,0 +1,66 @@
+"""Sharded Bloom filter: no false negatives (the correctness property),
+persistence roundtrip, and dedup equivalence with the exact anti-join."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_collector_spark.operators.bloom import ShardedBloom
+from data_collector_spark.operators.seen import dedup_against_seen
+
+
+def sha_df(spark, values):
+    rows = [(hashlib.sha1(v.encode()).hexdigest(), v) for v in values]
+    return spark.createDataFrame(rows, "url_sha1 string, url_canon string")
+
+
+def test_no_false_negatives(spark):
+    added = sha_df(spark, [f"http://h{i % 7}.test/p/{i}" for i in range(2000)])
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 16, k=5)
+    bf.add_df(added)
+    flagged = bf.with_maybe_seen(spark, added)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_mostly_rejects_unseen(spark):
+    added = sha_df(spark, [f"a{i}" for i in range(1000)])
+    other = sha_df(spark, [f"b{i}" for i in range(1000)])
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 18, k=7)
+    bf.add_df(added)
+    fp = bf.with_maybe_seen(spark, other).filter(F.col("maybe_seen")).count()
+    assert fp < 50  # ~0 expected at this sizing
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    added = sha_df(spark, [f"x{i}" for i in range(500)])
+    bf = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, k=4)
+    bf.add_df(added)
+    bf.save(str(tmp_path / "bloom"))
+    bf2 = ShardedBloom.load(str(tmp_path / "bloom"), 4, 1 << 14, 4)
+    assert set(bf2.bitmaps) == set(bf.bitmaps)
+    assert bf2.with_maybe_seen(spark, added).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_incremental_merge(spark):
+    bf = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, k=4)
+    bf.add_df(sha_df(spark, [f"r1-{i}" for i in range(200)]))
+    bf.add_df(sha_df(spark, [f"r2-{i}" for i in range(200)]))
+    both = sha_df(spark, [f"r1-{i}" for i in range(200)] + [f"r2-{i}" for i in range(200)])
+    assert bf.with_maybe_seen(spark, both).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_dedup_matches_exact_antijoin(spark):
+    seen_vals = [f"u{i}" for i in range(800)]
+    cand_vals = [f"u{i}" for i in range(400, 1200)]  # half overlap
+    seen = sha_df(spark, seen_vals)
+    cand = sha_df(spark, cand_vals)
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 16, k=5)
+    bf.add_df(seen)
+    with_bloom = sorted(
+        r["url_canon"]
+        for r in dedup_against_seen(spark, cand, seen, bf).collect()
+    )
+    exact = sorted(
+        r["url_canon"] for r in dedup_against_seen(spark, cand, seen, None).collect()
+    )
+    assert with_bloom == exact == sorted(f"u{i}" for i in range(800, 1200))
