@@ -1,0 +1,181 @@
+"""End-to-end crawl golden scenarios (FIXTURES.md §A6) — the analog of the
+reference's DB-fixture state-transition tests
+(/root/reference/src/actions/stage/polygon_grouped_daily.rs:530-866).
+
+A tiny deterministic corpus drives multi-round crawls; assertions cover
+dedup, robots, politeness deferral, dead links, resume equivalence, the
+byte-identical extraction invariant, and bloom-on == bloom-off equality.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+from data_collector_spark.crawler.state import CrawlState
+from data_collector_spark.functions.extract import extract_text_series
+from data_collector_spark.sources.generator import (
+    synth_pages,
+    synth_politeness,
+    synth_robots,
+    synth_seeds,
+)
+
+N_URLS = 150
+N_HOSTS = 6
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    synth_pages(spark, N_URLS, n_hosts=N_HOSTS, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return spark.read.parquet(d)
+
+
+def crawl(spark, tmp_path, corpus, name, cfg=None, budgets=None, robots=None):
+    wd = str(tmp_path / name)
+    metrics = run_crawl(
+        spark,
+        wd,
+        corpus,
+        synth_seeds(spark, N_URLS, n_hosts=N_HOSTS),
+        robots if robots is not None else synth_robots(spark),
+        budgets if budgets is not None else synth_politeness(spark),
+        cfg or CrawlConfig(max_rounds=3),
+    )
+    return wd, metrics, CrawlState(wd)
+
+
+def test_round0_and_invariants(spark, tmp_path, corpus):
+    wd, metrics, state = crawl(spark, tmp_path, corpus, "base")
+    assert len(metrics) == 3
+    m0 = metrics[0]
+    assert m0.fetched > 0 and m0.enqueued > 0
+
+    # scenario 8: byte-identical extracted text for every fetched url
+    fetched = state.read_all(spark, "pages_out").join(
+        corpus.select("url_canon", "text"), "url_canon"
+    )
+    rows = fetched.select("extracted_text", "text").collect()
+    assert rows and all(r["extracted_text"] == r["text"] for r in rows)
+
+    # scenario 3: no URL fetched twice, ever
+    log = state.read_all(spark, "fetch_log").filter(F.col("status") == "fetched")
+    assert log.groupBy("url_sha1").count().filter("count > 1").count() == 0
+
+    # seen set unique
+    seen = state.read_all(spark, "seen")
+    assert seen.groupBy("url_sha1").count().filter("count > 1").count() == 0
+
+    # scenario 4: robots-blocked hosts never fetched
+    assert log.filter(F.col("host") == "h3.test").count() == 0
+    blocked = state.read_all(spark, "fetch_log").filter(F.col("status") == "robots")
+    assert blocked.count() == sum(m.robots_blocked for m in metrics)
+
+    # scenario 5: politeness budget respected per (round, host)
+    per = (
+        state.read_all(spark, "fetch_log")
+        .filter(F.col("status") != "robots")
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    for r in per:
+        limit = 1 if r["host"] == "h0.test" else 2
+        assert r["count"] <= limit, r
+
+    # scenario 6: the dead seed is logged dead, exactly once
+    dead = state.read_all(spark, "fetch_log").filter(F.col("status") == "dead")
+    assert dead.count() >= 1
+    assert dead.groupBy("url_sha1").count().filter("count > 1").count() == 0
+
+
+def test_within_round_duplicate_links_enqueued_once(spark, tmp_path, corpus):
+    # scenario 2: frontier rounds never contain duplicate keys
+    wd, metrics, state = crawl(spark, tmp_path, corpus, "dupes")
+    f = state.read_all(spark, "frontier")
+    assert f.groupBy("round", "url_sha1").count().filter("count > 1").count() == 0
+
+
+def test_resume_equivalence(spark, tmp_path, corpus):
+    # scenario 7: stop after round 1, resume, final state identical to
+    # an uninterrupted run
+    _, m_full, st_full = crawl(
+        spark, tmp_path, corpus, "full", CrawlConfig(max_rounds=4)
+    )
+    wd2, m_a, st_part = crawl(
+        spark, tmp_path, corpus, "part", CrawlConfig(max_rounds=2)
+    )
+    m_b = run_crawl(
+        spark,
+        wd2,
+        corpus,
+        synth_seeds(spark, N_URLS, n_hosts=N_HOSTS),
+        synth_robots(spark),
+        synth_politeness(spark),
+        CrawlConfig(max_rounds=4),
+    )
+    assert [m.round for m in m_b] == [2, 3]
+
+    def final(st):
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+        return seen, log
+
+    assert final(st_full) == final(st_part)
+
+
+def test_replay_determinism(spark, tmp_path, corpus):
+    # north_rule: same seeds + budgets => identical per-host ordering and seen set
+    _, _, st1 = crawl(spark, tmp_path, corpus, "replay1")
+    _, _, st2 = crawl(spark, tmp_path, corpus, "replay2")
+
+    def ordering(st):
+        return sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_canon"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+
+    assert ordering(st1) == ordering(st2)
+    s1 = sorted(r["url_sha1"] for r in st1.read_all(spark, "seen").collect())
+    s2 = sorted(r["url_sha1"] for r in st2.read_all(spark, "seen").collect())
+    assert s1 == s2
+
+
+def test_bloom_off_equals_bloom_on(spark, tmp_path, corpus):
+    _, _, st_on = crawl(
+        spark, tmp_path, corpus, "bon", CrawlConfig(max_rounds=3, use_bloom=True)
+    )
+    _, _, st_off = crawl(
+        spark, tmp_path, corpus, "boff", CrawlConfig(max_rounds=3, use_bloom=False)
+    )
+    a = sorted(r["url_sha1"] for r in st_on.read_all(spark, "seen").collect())
+    b = sorted(r["url_sha1"] for r in st_off.read_all(spark, "seen").collect())
+    assert a == b
+
+
+def test_counters_consistent(spark, tmp_path, corpus):
+    _, metrics, state = crawl(spark, tmp_path, corpus, "counters")
+    for m in metrics:
+        log_n = (
+            state.read_round(spark, "fetch_log", m.round)
+            .filter(F.col("status") == "fetched")
+            .count()
+        )
+        assert log_n == m.fetched
+        assert m.deduped >= 0 and m.deferred_by_politeness >= 0
+        # frontier_{n+1} = deferred + enqueued
+        fn = state.read_round(spark, "frontier", m.round + 1).count()
+        assert fn == m.deferred_by_politeness + m.enqueued
+        assert m.per_partition  # lineage populated
