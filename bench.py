@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: crawl throughput (URLs fetched+deduped per second) over a
+pages corpus derived from the $SPARK_GRAFT_SF_DIR documents table, plus
+per-query wall times for the representative operator suite.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores (default 32)
+  DCS_BENCH_ROUNDS     crawl rounds (default 3)
+  DCS_BENCH_BUDGET     per-host budget per round (default 5000)
+  DCS_BENCH_CRAWL_ONLY if set, skip the query suite (used by the scaling
+                       harness so efficiency reflects the crawl path)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_collector_spark.crawler.driver import CrawlConfig, run_crawl  # noqa: E402
+from data_collector_spark.plans import QUERIES  # noqa: E402
+from data_collector_spark.session import get_spark  # noqa: E402
+from data_collector_spark.sources.generator import pages_from_documents  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "j2_broadcast_dims",
+    "j5_anti_dedup_insert",
+    "w1_wave_pop",
+    "w3_sessionize",
+    "s8_merge_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_token_counts",
+    "text_quality_score",
+    "st_tumbling_window",
+]
+
+
+def _force(df) -> None:
+    """Full evaluation incl. projections (count() would let Catalyst prune)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        _force(QUERIES[name](spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_crawl(spark, sf_dir: str, rounds: int, budget: int) -> dict:
+    corpus_dir = tempfile.mkdtemp(prefix="dcs_bench_corpus_")
+    workdir = tempfile.mkdtemp(prefix="dcs_bench_wd_")
+    try:
+        pages_from_documents(spark, sf_dir, n_hosts=32).write.mode("overwrite").parquet(
+            corpus_dir
+        )
+        pages = spark.read.parquet(corpus_dir)
+        seeds = (
+            pages.select(F.col("url_canon").alias("url"))
+            .orderBy("url")
+            .limit(64)
+            .withColumn("priority", F.lit(0))
+        )
+        robots = spark.createDataFrame([], "host string, path_prefix string")
+        budgets = spark.createDataFrame([("", budget)], "host string, budget_per_round int")
+
+        t0 = time.monotonic()
+        metrics = run_crawl(
+            spark, workdir, pages, seeds, robots, budgets,
+            CrawlConfig(max_rounds=rounds, default_budget=budget),
+        )
+        wall = time.monotonic() - t0
+        fetched = sum(m.fetched for m in metrics)
+        deduped = sum(m.deduped for m in metrics)
+        enqueued = sum(m.enqueued for m in metrics)
+        processed = fetched + deduped + enqueued
+        return {
+            "crawl_wall_sec": round(wall, 3),
+            "rounds": len(metrics),
+            "urls_fetched": fetched,
+            "urls_deduped": deduped,
+            "urls_enqueued": enqueued,
+            "urls_per_sec": round(processed / wall, 2) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rounds = int(os.environ.get("DCS_BENCH_ROUNDS", "3"))
+    budget = int(os.environ.get("DCS_BENCH_BUDGET", "5000"))
+    crawl_only = bool(os.environ.get("DCS_BENCH_CRAWL_ONLY"))
+
+    spark = get_spark("dcs-bench", cores=cpus)
+    t_all = time.monotonic()
+    crawl = bench_crawl(spark, sf_dir, rounds, budget)
+    queries = {} if crawl_only else bench_queries(spark, sf_dir)
+    total = round(time.monotonic() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_deduped_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": cpus,
+                "total_wall_sec": total,
+                "urls_per_sec_per_core": round(crawl["urls_per_sec"] / cpus, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

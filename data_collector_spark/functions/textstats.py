@@ -1,0 +1,63 @@
+"""Text analytics over the documents table: language-ID, quality scoring,
+token counting, fingerprinting — all built-in expressions (codegen'd), so
+each is SQL-oracle-checkable and runs JVM-side at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|a|of|and)\b",
+    "de": r"\b(der|und|die|das)\b",
+    "fr": r"\b(le|et|la|les)\b",
+}
+
+STOPWORD_RE = r"\b(the|a|of|and|to|in)\b"
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def marker_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Deterministic argmax-with-precedence over marker counts (en>de>fr)."""
+    en = marker_count(text, LANG_MARKERS["en"])
+    de = marker_count(text, LANG_MARKERS["de"])
+    fr = marker_count(text, LANG_MARKERS["fr"])
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokens (empty string -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_count_col(text: Column) -> Column:
+    """BPE-ish unit count: letter runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("long")
+
+
+def quality_score_col(text: Column) -> Column:
+    """[0,1] heuristic: length saturation + stopword presence."""
+    n_tokens = token_count_col(text).cast("double")
+    stop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE), 0)).cast("double")
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    len_sat = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    return F.round(0.5 * len_sat + 0.5 * F.least(F.lit(1.0), 4.0 * stop_ratio), 4)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

@@ -1,0 +1,65 @@
+"""Crawler pipeline as driver-contract queries (rows-only checks).
+
+The crawl is iterative + stateful (snapshot commits, Bloom shards), which
+ANSI SQL can't express — the driver records the weaker rows-only check;
+full semantics are pytest-verified (tests/test_crawler.py golden scenarios).
+
+Corpus: derived deterministically from the sf documents table
+(sources/generator.py::pages_from_documents), so the same sf_dir drives
+Spark and oracle sides of everything else while the crawl runs on real
+input_hint-shaped pages.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+from data_collector_spark.crawler.state import CrawlState
+from data_collector_spark.plans.registry import query
+from data_collector_spark.sources.generator import pages_from_documents
+
+
+def _run_doc_crawl(spark: SparkSession, sf: str, rounds: int = 2) -> CrawlState:
+    pages = pages_from_documents(spark, sf, n_hosts=10)
+    seeds = (
+        pages.select(F.col("url_canon").alias("url"))
+        .orderBy("url")
+        .limit(10)
+        .withColumn("priority", F.lit(0))
+    )
+    robots = spark.createDataFrame(
+        [("d9.docs.test", "")], "host string, path_prefix string"
+    )
+    budgets = spark.createDataFrame(
+        [("", 50)], "host string, budget_per_round int"
+    )
+    wd = tempfile.mkdtemp(prefix="dcs_crawl_q_")
+    try:
+        run_crawl(spark, wd, pages, seeds, robots, budgets, CrawlConfig(max_rounds=rounds))
+    except Exception:
+        shutil.rmtree(wd, ignore_errors=True)
+        raise
+    return CrawlState(wd)
+
+
+@query("crawl_fetch_log")
+def crawl_fetch_log(spark: SparkSession, sf: str) -> DataFrame:
+    """Two crawl rounds over the documents-derived corpus; per-host ordered
+    fetch log (the replay-equivalence artifact)."""
+    state = _run_doc_crawl(spark, sf, rounds=2)
+    return (
+        state.read_all(spark, "fetch_log")
+        .select("round", "host", "seq_in_host", "url_canon", "status")
+    )
+
+
+@query("crawl_seen_set")
+def crawl_seen_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Final URL-seen set after two rounds (dedup invariant artifact)."""
+    state = _run_doc_crawl(spark, sf, rounds=2)
+    return state.read_all(spark, "seen").select("url_sha1", "url_canon")

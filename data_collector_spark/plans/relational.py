@@ -195,8 +195,8 @@ def f5_coalesce_first(spark, sf):
     "f7_date_arith",
     """
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) + 7 AS plus_week,
-           CAST(CAST(o_orderdate AS DATE) - INTERVAL 24 MONTH AS DATE) AS back_24m
+           CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus_week,
+           CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 24 MONTH AS DATE) AS TIMESTAMP) AS back_24m
     FROM orders
     """,
 )
@@ -206,10 +206,11 @@ def f7_date_arith(spark, sf):
     polygon_grouped_daily.rs:265-273)."""
     o = _t(spark, sf, "orders")
     d = F.col("o_orderdate").cast("date")
+    # date outputs cast to timestamp: unambiguous across Spark/DuckDB/Arrow
     return o.select(
         "o_orderkey",
-        F.date_add(d, 7).alias("plus_week"),
-        F.add_months(d, -24).alias("back_24m"),
+        F.date_add(d, 7).cast("timestamp").alias("plus_week"),
+        F.add_months(d, -24).cast("timestamp").alias("back_24m"),
     )
 
 
@@ -249,7 +250,7 @@ def f9_json_extract(spark, sf):
     "f10_parse_date",
     """
     SELECT o_orderkey,
-           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS rt_date
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS rt_date
     FROM orders
     """,
 )
@@ -259,7 +260,9 @@ def f10_parse_date(spark, sf):
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd").alias("rt_date"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd")
+        .cast("timestamp")
+        .alias("rt_date"),
     )
 
 
@@ -276,10 +279,11 @@ def f11_try_cast_int(spark, sf):
     """F11: string->int parse, NULL on failure
     (/root/reference/src/actions/collect/sec_companies.rs:293-299)."""
     c = _t(spark, sf, "customer")
+    # try_cast: Spark 4 runs ANSI mode, plain cast raises on bad input
     return c.select(
         "c_custkey",
-        F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("name_num"),
-        F.col("c_mktsegment").cast("long").alias("seg_num"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).try_cast("long").alias("name_num"),
+        F.col("c_mktsegment").try_cast("long").alias("seg_num"),
     )
 
 
@@ -677,8 +681,8 @@ def w2_two_tier_priority(spark, sf):
     """
     SELECT user_id, session_id, count(*) AS n_events FROM (
       SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              IS NULL THEN 1
@@ -695,11 +699,13 @@ def w3_sessionize(spark, sf):
     nyse_events.rs:104-115)."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap so truncation can't disagree with the oracle
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # microsecond-exact gap so truncation can't disagree with the oracle;
+    # parquet ts is TIMESTAMP_NTZ, unix_micros needs TIMESTAMP (UTC session)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     marked = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 3600), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0),
     )
     return (
         marked.withColumn(

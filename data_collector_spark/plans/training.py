@@ -1,0 +1,304 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+Dedup (exact, Jaccard, MinHash+LSH, SimHash), similarity search (brute
+cosine + LSH ANN), text analytics, and multimodal metadata plumbing.
+SQL-expressible ones carry DuckDB oracles; sketch-based ones are
+deterministic but hash-scheme-specific (xxhash64), so they are rows-only
+checked and covered by pytest equivalence tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_collector_spark.functions.multimodal import extract_media_meta
+from data_collector_spark.functions.similarity import brute_force_topk, lsh_topk
+from data_collector_spark.functions.sketches import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+    tokenize,
+)
+from data_collector_spark.functions.textstats import (
+    bpe_ish_count_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from data_collector_spark.plans.registry import query
+from data_collector_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf):
+    """Exact dedup by content hash, deterministic representative (min id)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+        .drop("_h")
+    )
+
+
+@query(
+    "dedup_jaccard_words",
+    """
+    WITH w AS (SELECT DISTINCT doc_id, w AS word FROM (
+                 SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+                 FROM documents WHERE doc_id < 150) s WHERE w <> ''),
+         sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                   FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def dedup_jaccard_words(spark, sf):
+    """Near-dup pairs by exact word-set Jaccard >= 0.8 (bounded slice —
+    the exact baseline the sketches approximate)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    words = tokenize(d)
+    pairs = (
+        words.select(F.col("doc_id").alias("a_id"))
+        .distinct()
+        .join(words.select(F.col("doc_id").alias("b_id")).distinct())
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    j = exact_jaccard(words, pairs)
+    return j.filter(F.col("jaccard") >= 0.8).select(
+        "a_id", "b_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 scheme not reproducible in SQL
+def dedup_minhash_lsh(spark, sf):
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard>=0.5.
+
+    The scale path for dedup_jaccard_words: candidate generation is an
+    equi-join on band keys instead of an all-pairs comparison."""
+    d = load_table(spark, sf, "documents")
+    words = tokenize(d)
+    sig = minhash_signatures(words, n_perm=32)
+    cand = lsh_candidate_pairs(sig, n_perm=32, bands=8)
+    j = exact_jaccard(words, cand)
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "a_id", "b_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 scheme not reproducible in SQL
+def dedup_simhash(spark, sf):
+    """SimHash-64 near-dup pairs, Hamming <= 3, banded candidate join."""
+    d = load_table(spark, sf, "documents")
+    counted = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sigs = simhash(counted)
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings)
+    SELECT q_id, c_id, sim FROM (
+      SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 4) AS sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY list_cosine_similarity(qe, ce) DESC, c_id) AS rn
+      FROM q CROSS JOIN c WHERE q_id <> c_id) t
+    WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 per query vector — built-in higher-order
+    functions only (zip_with/aggregate), broadcast query side."""
+    e = load_table(spark, sf, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+@query("ann_lsh_topk")  # rows-only: hyperplane scheme not expressible in SQL
+def ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN top-5: same-bucket candidates, exact re-rank."""
+    e = load_table(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analytics
+# ---------------------------------------------------------------------------
+@query(
+    "text_lang_id",
+    r"""
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id,
+                 len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+                 len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS de,
+                 len(regexp_extract_all(text, '\b(le|et|la|les)\b')) AS fr
+          FROM documents) s
+    """,
+)
+def text_lang_id(spark, sf):
+    """Marker-word language-ID heuristic (deterministic argmax)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+           round(0.5 * least(1.0, n_tokens / 50.0)
+                 + 0.5 * least(1.0, 4.0 * CASE WHEN n_tokens > 0
+                                               THEN stop / n_tokens
+                                               ELSE 0.0 END), 4) AS quality
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END * 1.0 AS n_tokens,
+                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) * 1.0 AS stop
+          FROM documents) s
+    """,
+)
+def text_quality_score(spark, sf):
+    """Length-saturation + stopword-ratio quality heuristic in [0,1]."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf):
+    """Whitespace + BPE-ish token counting."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_count_col(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    """Whitespace-normalized content fingerprint (md5)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 'image'
+                WHEN ascii(substr(text, 1, 1)) % 3 = 0 THEN 'image'
+                WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf):
+    """Binary-column metadata extraction through the real mapInPandas
+    plumbing; the decoder is a deterministic stub (see functions/multimodal)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_media_meta(d)
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x))), 6)), 3) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf):
+    """Per-label vector L2-norm stats — array higher-order functions."""
+    e = load_table(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        e.select("label", F.round(norm, 6).alias("_n"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("_n"), 3).alias("avg_norm"))
+    )
+
+
+@query(
+    "st_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_window(spark, sf):
+    """Tumbling 1h event-time window — the batch twin of the Structured
+    Streaming aggregation (streaming equivalence covered in pytest)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
