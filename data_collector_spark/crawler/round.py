@@ -117,7 +117,10 @@ def run_round(
     )
     cand = with_canonical_url(links, "url")
     m.links_extracted = links.count()
-    # within-round dedup: deterministic min over (depth, ts) per key (J5)
+    # within-round dedup: deterministic min over (depth, ts) per key (J5);
+    # persisted because the Bloom split consumes it twice (definitely-new
+    # branch + suspects branch) — without the cache the canonicalize UDF
+    # chain would run once per branch
     cand_unique = (
         cand.groupBy("url_sha1")
         .agg(
@@ -131,6 +134,7 @@ def run_round(
         )
         .withColumn("host", F.regexp_extract("url_canon", r"^[a-z0-9+.\-]+://([^/:?#]+)", 1))
         .withColumn("priority", F.lit(1))
+        .persist()
     )
     seen_all = state.read_all(spark, "seen")
     new_entries = dedup_against_seen(
@@ -163,6 +167,7 @@ def run_round(
     m.per_partition = {r["host"]: r["count"] for r in top}
 
     wave.unpersist()
+    cand_unique.unpersist()
     new_entries.unpersist()
     m.wall_sec = round(time.monotonic() - t0, 3)
     return m
