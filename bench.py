@@ -30,7 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_collector_spark.crawler.driver import CrawlConfig, run_crawl  # noqa: E402
 from data_collector_spark.plans import QUERIES  # noqa: E402
 from data_collector_spark.session import get_spark  # noqa: E402
-from data_collector_spark.sources.generator import pages_from_documents  # noqa: E402
+from data_collector_spark.sources.generator import synth_pages  # noqa: E402
 
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
@@ -60,21 +60,32 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         _force(QUERIES[name](spark, sf_dir))
         out[name] = round(time.monotonic() - t0, 3)
+        print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return out
 
 
 def bench_crawl(spark, sf_dir: str, rounds: int, budget: int) -> dict:
+    """Crawl throughput over a synthetic corpus sized via DCS_BENCH_URLS.
+
+    The sf documents tables are tiny (5k rows at sf0.1) — right for oracle
+    checks, too small for throughput; the crawl corpus is generated at a
+    size where compute dominates scheduling overhead (generation is
+    deterministic and excluded from the timed window).
+    """
+    n_urls = int(os.environ.get("DCS_BENCH_URLS", "200000"))
+    n_hosts = int(os.environ.get("DCS_BENCH_HOSTS", "1000"))
+    n_seeds = int(os.environ.get("DCS_BENCH_SEEDS", "50000"))
     corpus_dir = tempfile.mkdtemp(prefix="dcs_bench_corpus_")
     workdir = tempfile.mkdtemp(prefix="dcs_bench_wd_")
     try:
-        pages_from_documents(spark, sf_dir, n_hosts=32).write.mode("overwrite").parquet(
-            corpus_dir
-        )
+        synth_pages(
+            spark, n_urls, n_hosts=n_hosts, links_per_page=8, partitions=64
+        ).write.mode("overwrite").parquet(corpus_dir)
         pages = spark.read.parquet(corpus_dir)
         seeds = (
             pages.select(F.col("url_canon").alias("url"))
             .orderBy("url")
-            .limit(64)
+            .limit(n_seeds)
             .withColumn("priority", F.lit(0))
         )
         robots = spark.createDataFrame([], "host string, path_prefix string")
@@ -92,6 +103,7 @@ def bench_crawl(spark, sf_dir: str, rounds: int, budget: int) -> dict:
         processed = fetched + deduped + enqueued
         return {
             "crawl_wall_sec": round(wall, 3),
+            "corpus_urls": n_urls,
             "rounds": len(metrics),
             "urls_fetched": fetched,
             "urls_deduped": deduped,
@@ -113,6 +125,7 @@ def main() -> None:
     spark = get_spark("dcs-bench", cores=cpus)
     t_all = time.monotonic()
     crawl = bench_crawl(spark, sf_dir, rounds, budget)
+    print(f"[bench] crawl: {crawl}", file=sys.stderr, flush=True)
     queries = {} if crawl_only else bench_queries(spark, sf_dir)
     total = round(time.monotonic() - t_all, 3)
 

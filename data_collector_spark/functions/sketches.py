@@ -94,6 +94,40 @@ def exact_jaccard(words: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     )
 
 
+def estimated_jaccard(
+    sig: DataFrame,
+    pairs: DataFrame,
+    n_perm: int = 32,
+    id_col: str = "doc_id",
+    broadcast_sig: bool = True,
+) -> DataFrame:
+    """Signature-based Jaccard estimate: fraction of agreeing minhashes.
+
+    O(pairs x n_perm) — the verification step for LSH candidates at scale,
+    where exact word-set intersection (O(pairs x |doc|)) melts down on
+    near-dup-heavy corpora (every pair a spam cluster produces is a true
+    candidate, so the exact join multiplies millions of pairs by document
+    length)."""
+    arr = F.array(*[f"h{i}" for i in range(n_perm)])
+    sa = sig.select(F.col(id_col).alias("a_id"), arr.alias("siga"))
+    sb = sig.select(F.col(id_col).alias("b_id"), arr.alias("sigb"))
+    if broadcast_sig:
+        # pairs >> docs in near-dup-heavy corpora: keep the pair stream
+        # unshuffled and broadcast the signature table to both probes
+        # (at 10^10 docs pass False — the join shuffles on id instead)
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    agree = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", (agree / F.lit(n_perm)).alias("jaccard_est"))
+    )
+
+
 def simhash(words_counted: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc from (id, word, cnt) rows.
 

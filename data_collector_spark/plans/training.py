@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from data_collector_spark.functions.multimodal import extract_media_meta
 from data_collector_spark.functions.similarity import brute_force_topk, lsh_topk
 from data_collector_spark.functions.sketches import (
+    estimated_jaccard,
     exact_jaccard,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -88,17 +89,20 @@ def dedup_jaccard_words(spark, sf):
 
 @query("dedup_minhash_lsh")  # rows-only: xxhash64 scheme not reproducible in SQL
 def dedup_minhash_lsh(spark, sf):
-    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard>=0.5.
+    """MinHash(32)+LSH(8 bands) candidates verified by the signature
+    Jaccard estimate >= 0.5.
 
     The scale path for dedup_jaccard_words: candidate generation is an
-    equi-join on band keys instead of an all-pairs comparison."""
+    equi-join on band keys (never all-pairs), and verification is
+    O(pairs x 32) on the signatures — exact word-set verification would
+    multiply every spam-cluster pair by document length."""
     d = load_table(spark, sf, "documents")
     words = tokenize(d)
-    sig = minhash_signatures(words, n_perm=32)
+    sig = minhash_signatures(words, n_perm=32).persist()
     cand = lsh_candidate_pairs(sig, n_perm=32, bands=8)
-    j = exact_jaccard(words, cand)
-    return j.filter(F.col("jaccard") >= 0.5).select(
-        "a_id", "b_id", F.round("jaccard", 4).alias("jaccard")
+    j = estimated_jaccard(sig, cand, n_perm=32)
+    return j.filter(F.col("jaccard_est") >= 0.5).select(
+        "a_id", "b_id", F.round("jaccard_est", 4).alias("jaccard_est")
     )
 
 
