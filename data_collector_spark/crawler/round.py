@@ -70,11 +70,16 @@ def run_round(
     m = RoundMetrics(round=round_n)
 
     frontier_n = state.read_round(spark, "frontier", round_n, FRONTIER_SCHEMA)
-    allowed, blocked = split_robots(frontier_n, robots)
+    # robots is a tiny config table; when empty, skip the whole branch
+    # (saves one frontier-wide job per round)
+    if robots.limit(1).count() > 0:
+        allowed, blocked = split_robots(frontier_n, robots)
+    else:
+        allowed, blocked = frontier_n, None
 
     wave, deferred = pop_wave(allowed, budgets, default_budget, skew_salt)
     wave = wave.persist()
-    m.robots_blocked = blocked.count()
+    m.robots_blocked = blocked.count() if blocked is not None else 0
 
     # fetch + extract, one Arrow pass, written once and re-read for fan-out
     hits = pages.join(
@@ -88,7 +93,12 @@ def run_round(
     )
     state.write_round("pages_out", round_n, extracted)
     fetched = state.read_round(spark, "pages_out", round_n, PAGES_OUT_SCHEMA)
-    m.fetched = fetched.count()
+    stats = fetched.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("links"),
+    ).collect()[0]
+    m.fetched = stats["n"]
+    m.links_extracted = int(stats["links"])
 
     # fetch_log: per-host ordering lineage (replay-equivalence invariant)
     dead = wave.join(F.broadcast(fetched.select("url_sha1")), "url_sha1", "left_anti")
@@ -100,12 +110,13 @@ def run_round(
                 "status", F.lit("dead")
             )
         )
-        .unionByName(
+    )
+    if blocked is not None:
+        log = log.unionByName(
             blocked.select("url_canon", "url_sha1", "host")
             .withColumn("seq_in_host", F.lit(None).cast("int"))
             .withColumn("status", F.lit("robots")),
         )
-    )
     state.write_round("fetch_log", round_n, log)
     m.dead = wave.count() - m.fetched
 
@@ -116,7 +127,6 @@ def run_round(
         F.explode("links").alias("url"),
     )
     cand = with_canonical_url(links, "url")
-    m.links_extracted = links.count()
     # within-round dedup: deterministic min over (depth, ts) per key (J5);
     # persisted because the Bloom split consumes it twice (definitely-new
     # branch + suspects branch) — without the cache the canonicalize UDF

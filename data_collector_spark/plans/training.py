@@ -120,6 +120,98 @@ def dedup_simhash(spark, sf):
     return simhash_near_pairs(sigs, max_hamming=3)
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup pairs: cosine >= 0.95 over a bounded slice
+    (exact baseline; the LSH-bucketed path is ann_lsh_topk)."""
+    from data_collector_spark.functions.similarity import _as_double, cosine_col
+
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("a_id"), _as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), _as_double(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sim = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a_id", "b_id", sim.alias("_s"))
+        .filter(F.col("_s") >= 0.95)
+        .select("a_id", "b_id", F.round("_s", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "dedup_ngram3_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents WHERE doc_id < 100 AND trim(text) <> ''),
+         grams AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+                   FROM toks WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                   FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT a_id, b_id, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard3
+    FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_ngram3_jaccard(spark, sf):
+    """Word-3-gram shingle Jaccard >= 0.5 (bounded slice) — shingles built
+    with transform/sequence higher-order functions, JVM-side."""
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 100) & (F.trim("text") != ""))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("ws").getItem(i),
+                    F.col("ws").getItem(i + 1),
+                    F.col("ws").getItem(i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("a_id"), "g")
+    gb = grams.select(F.col("doc_id").alias("b_id"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("_j"),
+        )
+    )
+    return j.filter(F.col("_j") >= 0.5).select(
+        "a_id", "b_id", F.round("_j", 4).alias("jaccard3")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

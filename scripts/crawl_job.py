@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the crawler.
+
+Cluster usage (the package ships as a zip via --py-files):
+
+    cd /root/repo && zip -qr /tmp/dcs.zip data_collector_spark
+    spark-submit --py-files /tmp/dcs.zip scripts/crawl_job.py \
+        --pages /path/pages_parquet --workdir /path/crawl_wd \
+        --seeds /path/seeds_parquet --rounds 5 --budget 100
+
+Local smoke (this sandbox):
+
+    python scripts/crawl_job.py --pages /tmp/corpus --workdir /tmp/wd \
+        --seed-sample 100 --rounds 2
+
+The SparkSession comes from the environment when launched by
+spark-submit (getOrCreate picks up the submitted conf); standalone it
+falls back to the local session factory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet (input_hint schema)")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--seeds", help="seeds parquet with (url, priority)")
+    ap.add_argument("--seed-sample", type=int, default=0,
+                    help="no seeds file: take N urls from pages as seeds")
+    ap.add_argument("--robots", help="robots parquet (host, path_prefix)")
+    ap.add_argument("--budgets", help="budgets parquet (host, budget_per_round)")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--budget", type=int, default=100)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("dcs-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.functions.urls import with_canonical_url
+
+    pages = spark.read.parquet(args.pages)
+    if "url_canon" not in pages.columns:
+        pages = with_canonical_url(pages).drop("url_sha1", "host")
+
+    if args.seeds:
+        seeds = spark.read.parquet(args.seeds)
+    elif args.seed_sample:
+        seeds = (
+            pages.select(F.col("url_canon").alias("url"))
+            .orderBy("url")
+            .limit(args.seed_sample)
+            .withColumn("priority", F.lit(0))
+        )
+    else:
+        raise SystemExit("need --seeds or --seed-sample")
+
+    robots = (
+        spark.read.parquet(args.robots)
+        if args.robots
+        else spark.createDataFrame([], "host string, path_prefix string")
+    )
+    budgets = (
+        spark.read.parquet(args.budgets)
+        if args.budgets
+        else spark.createDataFrame([("", args.budget)], "host string, budget_per_round int")
+    )
+
+    metrics = run_crawl(
+        spark, args.workdir, pages, seeds, robots, budgets,
+        CrawlConfig(max_rounds=args.rounds, default_budget=args.budget),
+    )
+    print(json.dumps({"rounds": [m.as_dict() for m in metrics]}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

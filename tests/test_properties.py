@@ -61,8 +61,13 @@ def test_invariants_random_config(spark, tmp_path, corpus, case_seed):
     blocked_host = robots.collect()[0]["host"]
     assert fetched.filter(F.col("host") == blocked_host).count() == 0
 
-    # per-(round,host) budget respected and seq contiguous
-    rows = fetched.select("round", "host", "seq_in_host").collect()
+    # per-(round,host) budget respected and seq contiguous over the whole
+    # wave (dead links consume budget and sequence slots too)
+    rows = (
+        log.filter(F.col("status") != "robots")
+        .select("round", "host", "seq_in_host")
+        .collect()
+    )
     by_rh = {}
     for r in rows:
         by_rh.setdefault((r["round"], r["host"]), []).append(r["seq_in_host"])
