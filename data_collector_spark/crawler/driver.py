@@ -38,6 +38,17 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits: int = 1 << 22
     bloom_k: int = 7
+    # D6 retry-with-backoff (/root/reference/src/dag_schedule/task.rs:277-329):
+    # a dead URL is re-enqueued up to retry_max times, eligible again at
+    # round n + retry_backoff_base^attempt (exponential, like the
+    # reference's Exponential variant; 0 = reference default of no retries,
+    # task.rs:250-259)
+    retry_max: int = 0
+    retry_backoff_base: int = 2
+    # R6/A4 stale re-crawl: URLs last fetched > ttl rounds ago re-enter
+    # the frontier at this priority; 0 disables (fetch-once crawl)
+    recrawl_ttl_rounds: int = 0
+    recrawl_priority: int = 2
 
     def make_bloom(self) -> ShardedBloom | None:
         if not self.use_bloom:
@@ -54,6 +65,9 @@ def init_crawl(
     spark: SparkSession, state: CrawlState, seeds: DataFrame, cfg: CrawlConfig
 ) -> None:
     """Round-0 state: canonicalized deduped seeds as frontier and seen."""
+    # seed lists often arrive as one partition (limit/collect artifacts);
+    # spread them so canonicalization parallelizes
+    seeds = seeds.repartition(spark.sparkContext.defaultParallelism)
     f0 = (
         with_canonical_url(seeds, "url")
         .dropDuplicates(["url_sha1"])
@@ -63,7 +77,12 @@ def init_crawl(
             "priority",
             F.coalesce(F.col("priority"), F.lit(0)) if "priority" in seeds.columns else F.lit(0),
         )
-        .select("url_canon", "url_sha1", "host", "depth", "discovery_ts", "priority")
+        .withColumn("attempt", F.lit(0))
+        .withColumn("not_before_round", F.lit(0))
+        .select(
+            "url_canon", "url_sha1", "host", "depth", "discovery_ts",
+            "priority", "attempt", "not_before_round",
+        )
     )
     state.write_round("frontier", 0, f0)
     seen0 = state.read_round(spark, "frontier", 0).select("url_sha1", "url_canon")
@@ -96,12 +115,27 @@ def run_crawl(
     metrics: list[RoundMetrics] = []
     start = state.last_committed_round() + 1  # type: ignore[operator]
     for n in range(start, cfg.max_rounds):
-        if state.read_round(spark, "frontier", n).limit(1).count() == 0:
+        # recrawl mode keeps ticking: an empty frontier refills once the
+        # TTL elapses; otherwise an empty frontier means the crawl drained
+        if (
+            cfg.recrawl_ttl_rounds == 0
+            and state.read_round(spark, "frontier", n).limit(1).count() == 0
+        ):
             break
         m = run_round(
             spark, state, pages, robots, budgets, bloom, n,
             default_budget=cfg.default_budget, skew_salt=cfg.skew_salt,
+            retry_max=cfg.retry_max, retry_backoff_base=cfg.retry_backoff_base,
         )
+        if cfg.recrawl_ttl_rounds > 0:
+            from data_collector_spark.operators.recrawl import stale_recrawl_candidates
+
+            log_all = state.read_all(spark, "fetch_log")
+            fnext = state.read_round(spark, "frontier", n + 1)
+            stale = stale_recrawl_candidates(
+                log_all, fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority
+            )
+            state.append_round("frontier", n + 1, stale)
         state.commit(n, m)
         metrics.append(m)
     return metrics

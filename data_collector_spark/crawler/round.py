@@ -61,6 +61,8 @@ def run_round(
     round_n: int,
     default_budget: int = 2,
     skew_salt: int = 16,
+    retry_max: int = 0,
+    retry_backoff_base: int = 2,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -68,8 +70,19 @@ def run_round(
     """
     t0 = time.monotonic()
     m = RoundMetrics(round=round_n)
+    _last = [t0]
+
+    def mark(phase: str) -> None:
+        now = time.monotonic()
+        m.phase_sec[phase] = round(now - _last[0], 2)
+        _last[0] = now
 
     frontier_n = state.read_round(spark, "frontier", round_n, FRONTIER_SCHEMA)
+    # D6 backoff hold: entries whose retry window hasn't opened pass
+    # through untouched (the reference sleeps between retries,
+    # task.rs:277-329; executors never sleep — they defer)
+    held = frontier_n.filter(F.col("not_before_round") > round_n)
+    frontier_n = frontier_n.filter(F.col("not_before_round") <= round_n)
     # robots is a tiny config table; when empty, skip the whole branch
     # (saves one frontier-wide job per round)
     if robots.limit(1).count() > 0:
@@ -80,13 +93,21 @@ def run_round(
     wave, deferred = pop_wave(allowed, budgets, default_budget, skew_salt)
     wave = wave.persist()
     m.robots_blocked = blocked.count() if blocked is not None else 0
+    mark("pop_wave")
 
-    # fetch + extract, one Arrow pass, written once and re-read for fan-out
+    # fetch + extract, one Arrow pass, written once and re-read for fan-out.
+    # The hits set is budget-bounded, so repartitioning it is cheap and
+    # guarantees the extract UDF parallelizes even when the pages scan
+    # produced few splits (small-file corpora) or the join preserved a
+    # narrow partitioning.
     hits = pages.join(
         F.broadcast(wave.select("url_canon", "url_sha1", "host", "depth", "seq_in_host")),
         "url_canon",
         "inner",
-    )
+    ).repartition(2 * spark.sparkContext.defaultParallelism, "url_sha1")
+    # NOTE: with_extracted(canonicalize_links=True) would save one
+    # JVM<->Python hop for the link fan-out, but measured SLOWER at 8
+    # cores (pandas list-rebuild cost > Arrow hop saved) — keep separate
     extracted = with_extracted(hits).select(
         "url_canon", "url_sha1", "host", "depth", "seq_in_host",
         "warc_ts", "extracted_text", "links",
@@ -99,6 +120,7 @@ def run_round(
     ).collect()[0]
     m.fetched = stats["n"]
     m.links_extracted = int(stats["links"])
+    mark("fetch_extract")
 
     # fetch_log: per-host ordering lineage (replay-equivalence invariant)
     dead = wave.join(F.broadcast(fetched.select("url_sha1")), "url_sha1", "left_anti")
@@ -119,6 +141,20 @@ def run_round(
         )
     state.write_round("fetch_log", round_n, log)
     m.dead = wave.count() - m.fetched
+    # D6: re-enqueue dead URLs with exponential round backoff
+    retries = None
+    if retry_max > 0:
+        retries = (
+            dead.filter(F.col("attempt") < retry_max)
+            .withColumn("attempt", F.col("attempt") + 1)
+            .withColumn(
+                "not_before_round",
+                F.lit(round_n)
+                + F.pow(F.lit(retry_backoff_base), F.col("attempt") - 1).cast("int"),
+            )
+            .drop("seq_in_host", "_budget")
+        )
+    mark("fetch_log")
 
     # link extraction -> next-generation candidates
     links = fetched.select(
@@ -144,6 +180,8 @@ def run_round(
         )
         .withColumn("host", F.regexp_extract("url_canon", r"^[a-z0-9+.\-]+://([^/:?#]+)", 1))
         .withColumn("priority", F.lit(1))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("not_before_round", F.lit(round_n + 1))
         .persist()
     )
     seen_all = state.read_all(spark, "seen")
@@ -151,24 +189,37 @@ def run_round(
         spark, cand_unique, seen_all.select("url_sha1") if seen_all is not None else None, bloom
     ).persist()
 
-    frontier_cols = ["url_canon", "url_sha1", "host", "depth", "discovery_ts", "priority"]
+    frontier_cols = [
+        "url_canon", "url_sha1", "host", "depth", "discovery_ts",
+        "priority", "attempt", "not_before_round",
+    ]
     frontier_next = deferred.select(*frontier_cols).unionByName(
         new_entries.select(*frontier_cols)
-    )
+    ).unionByName(held.select(*frontier_cols))
+    if retries is not None:
+        frontier_next = frontier_next.unionByName(retries.select(*frontier_cols))
     state.write_round("frontier", round_n + 1, frontier_next)
+    mark("frontier_write")
     state.write_round("seen", round_n + 1, new_entries.select("url_sha1", "url_canon"))
+    mark("seen_write")
 
     seen_delta = state.read_round(spark, "seen", round_n + 1, "url_sha1 string, url_canon string")
     m.enqueued = seen_delta.count()
     uniq = cand_unique.count()
     m.deduped = uniq - m.enqueued
+    m.held_by_backoff = held.count()
+    m.retried = retries.count() if retries is not None else 0
     frontier_total = state.read_round(spark, "frontier", round_n + 1, FRONTIER_SCHEMA).count()
-    m.deferred_by_politeness = frontier_total - m.enqueued
+    m.deferred_by_politeness = (
+        frontier_total - m.enqueued - m.held_by_backoff - m.retried
+    )
 
+    mark("counters")
     if bloom is not None:
         if m.enqueued:
             bloom.add_df(seen_delta)
         bloom.save(state.bloom_dir())
+    mark("bloom")
 
     # per-partition lineage: fetched rows per host (bounded: top 50)
     top = (

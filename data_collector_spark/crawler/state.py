@@ -29,7 +29,7 @@ TABLES = ("frontier", "seen", "fetch_log", "pages_out")
 
 FRONTIER_SCHEMA = (
     "url_canon string, url_sha1 string, host string, depth int, "
-    "discovery_ts timestamp, priority int"
+    "discovery_ts timestamp, priority int, attempt int, not_before_round int"
 )
 SEEN_SCHEMA = "url_sha1 string, url_canon string"
 FETCH_LOG_SCHEMA = (
@@ -44,11 +44,14 @@ class RoundMetrics:
     dead: int = 0
     robots_blocked: int = 0
     deferred_by_politeness: int = 0
+    held_by_backoff: int = 0
+    retried: int = 0
     links_extracted: int = 0
     deduped: int = 0          # dropped as already-seen (incl. within-round dups)
     enqueued: int = 0         # new frontier entries
     wall_sec: float = 0.0
     per_partition: dict = field(default_factory=dict)
+    phase_sec: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items()}
@@ -93,6 +96,9 @@ class CrawlState:
 
     def write_round(self, table: str, round_n: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._dir(table, round_n))
+
+    def append_round(self, table: str, round_n: int, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._dir(table, round_n))
 
     def read_round(self, spark: SparkSession, table: str, round_n: int, schema: str | None = None) -> DataFrame:
         path = self._dir(table, round_n)

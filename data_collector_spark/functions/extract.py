@@ -73,11 +73,16 @@ def extract_links_series(html: pd.Series, base_url: pd.Series | None = None) -> 
     )
 
 
-def with_extracted(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def with_extracted(
+    pages: DataFrame, html_col: str = "html", canonicalize_links: bool = False
+) -> DataFrame:
     """Add extracted_text + links (array<string>) via one Arrow-batched pass.
 
     mapInPandas (not two scalar UDFs) so the payload bytes cross the
-    JVM<->Python boundary once per batch.
+    JVM<->Python boundary once per batch. With canonicalize_links=True the
+    link canonicalization (functions/urls.py rules) happens inside the
+    same pass — the link set would otherwise take a second JVM->Python
+    round trip at fan-out x links_per_page volume.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
@@ -85,11 +90,25 @@ def with_extracted(pages: DataFrame, html_col: str = "html") -> DataFrame:
     out_schema += ", extracted_text string, links array<string>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_collector_spark.functions.urls import canonicalize_series
+
         for pdf in batches:
             base = pdf["url_canon"] if "url_canon" in pdf.columns else pdf["url"]
+            links = extract_links_series(pdf[html_col], base)
+            if canonicalize_links and len(pdf):
+                flat = pd.Series(
+                    [u for ls in links for u in ls], dtype="object"
+                )
+                counts = links.map(len).to_numpy()
+                canon = canonicalize_series(flat).to_numpy() if len(flat) else []
+                out, pos = [], 0
+                for c in counts:
+                    out.append([u for u in canon[pos:pos + c] if u is not None])
+                    pos += c
+                links = pd.Series(out, index=links.index, dtype="object")
             pdf = pdf.assign(
                 extracted_text=extract_text_series(pdf[html_col]),
-                links=extract_links_series(pdf[html_col], base),
+                links=links,
             )
             yield pdf
 

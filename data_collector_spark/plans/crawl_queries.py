@@ -12,6 +12,7 @@ input_hint-shaped pages.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -39,6 +40,8 @@ def _run_doc_crawl(spark: SparkSession, sf: str, rounds: int = 2) -> CrawlState:
         [("", 50)], "host string, budget_per_round int"
     )
     wd = tempfile.mkdtemp(prefix="dcs_crawl_q_")
+    # results are read lazily from wd, so defer cleanup to interpreter exit
+    atexit.register(shutil.rmtree, wd, ignore_errors=True)
     try:
         run_crawl(spark, wd, pages, seeds, robots, budgets, CrawlConfig(max_rounds=rounds))
     except Exception:

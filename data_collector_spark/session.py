@@ -46,7 +46,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local corpora are small relative to the default 128 MB split size;
+        # finer splits keep scan parallelism ~= cores (raise on a real
+        # cluster where files are TB-scale)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
+    # shuffle spill dir: the sandbox's /tmp is one virtio disk and shuffle
+    # writeback stalls dominate round walls (measured 2-4x swings); tmpfs
+    # is the local-SSD analog. Cluster deployments set real local dirs.
+    local_dir = os.environ.get("DCS_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/dcs_spark_local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

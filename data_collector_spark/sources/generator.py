@@ -67,6 +67,8 @@ def _make_batch(
     links_per_page: int,
     dead_frac: float,
     seed: int,
+    min_words: int = 8,
+    max_words: int = 33,
 ) -> pd.DataFrame:
     ids = ids.astype(np.uint64)
     hosts = _host_of(ids, n_hosts, zipf_alpha, seed)
@@ -91,7 +93,8 @@ def _make_batch(
 
     # body words from vocab; link targets skewed toward low ids so the
     # reachable graph is dense; ~dead_frac of links point past the universe
-    n_words = 8 + (_rand(ids, 3, seed) % np.uint64(25)).astype(np.int64)
+    span = max(1, max_words - min_words)
+    n_words = min_words + (_rand(ids, 3, seed) % np.uint64(span)).astype(np.int64)
     htmls = []
     universe = int(n_urls * (1.0 + dead_frac))
     for idx, (i, h) in enumerate(zip(ids.tolist(), hosts.tolist())):
@@ -138,6 +141,8 @@ def synth_pages(
     dead_frac: float = 0.05,
     seed: int = 42,
     partitions: int | None = None,
+    min_words: int = 8,
+    max_words: int = 33,
 ) -> DataFrame:
     """Distributed deterministic pages table (input_hint schema + url_canon)."""
     rng = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
@@ -146,7 +151,7 @@ def synth_pages(
         for pdf in batches:
             yield _make_batch(
                 pdf["id"].to_numpy(), n_urls, n_hosts, zipf_alpha,
-                links_per_page, dead_frac, seed,
+                links_per_page, dead_frac, seed, min_words, max_words,
             )
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -175,7 +175,7 @@ def test_counters_consistent(spark, tmp_path, corpus):
         )
         assert log_n == m.fetched
         assert m.deduped >= 0 and m.deferred_by_politeness >= 0
-        # frontier_{n+1} = deferred + enqueued
+        # frontier_{n+1} = deferred + enqueued + backoff-held + retried
         fn = state.read_round(spark, "frontier", m.round + 1).count()
-        assert fn == m.deferred_by_politeness + m.enqueued
+        assert fn == m.deferred_by_politeness + m.enqueued + m.held_by_backoff + m.retried
         assert m.per_partition  # lineage populated
