@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages parquet (input_hint schema)")
-    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--config", help="pipeline YAML/JSON (overrides other args)")
+    ap.add_argument("--pages", help="pages parquet (input_hint schema)")
+    ap.add_argument("--workdir")
     ap.add_argument("--seeds", help="seeds parquet with (url, priority)")
     ap.add_argument("--seed-sample", type=int, default=0,
                     help="no seeds file: take N urls from pages as seeds")
@@ -46,6 +47,32 @@ def main() -> None:
     from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
     from data_collector_spark.functions.urls import with_canonical_url
 
+    if args.config:
+        from data_collector_spark.crawler.config import load_pipeline
+
+        cfg, inputs, workdir = load_pipeline(args.config)
+        pages = spark.read.parquet(inputs["pages"])
+        if "url_canon" not in pages.columns:
+            pages = with_canonical_url(pages).drop("url_sha1", "host")
+        seeds = spark.read.parquet(inputs["seeds"])
+        robots = (
+            spark.read.parquet(inputs["robots"])
+            if "robots" in inputs
+            else spark.createDataFrame([], "host string, path_prefix string")
+        )
+        budgets = (
+            spark.read.parquet(inputs["budgets"])
+            if "budgets" in inputs
+            else spark.createDataFrame(
+                [("", cfg.default_budget)], "host string, budget_per_round int"
+            )
+        )
+        metrics = run_crawl(spark, workdir, pages, seeds, robots, budgets, cfg)
+        print(json.dumps({"rounds": [m.as_dict() for m in metrics]}, indent=1))
+        return
+
+    if not args.pages or not args.workdir:
+        raise SystemExit("need --config or both --pages and --workdir")
     pages = spark.read.parquet(args.pages)
     if "url_canon" not in pages.columns:
         pages = with_canonical_url(pages).drop("url_sha1", "host")
