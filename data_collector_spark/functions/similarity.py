@@ -98,6 +98,83 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nprobe nearest centroid cells (IVF lists).
+
+    One numpy matmul per Arrow batch against the broadcast centroid
+    matrix; output is exploded to (row, cell) pairs so cell assignment is
+    an equi-join key downstream.
+    """
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T  # (batch, K)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in top])
+
+    return df.withColumn("_cells", cells(F.col(vec_col))).select(
+        "*", F.explode("_cells").alias("cell")
+    ).drop("_cells")
+
+
+def ivf_centroids(
+    candidates: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic coarse quantizer: the k lowest-id vectors as centroids.
+
+    A k-means refinement is a drop-in replacement; determinism and
+    partition-independence matter more than centroid quality here, and at
+    10^10 scale you train the quantizer on a fixed sample anyway."""
+    rows = (
+        candidates.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: candidates indexed into 1 cell each, queries probe
+    their nprobe nearest cells, exact cosine re-rank within probed cells.
+
+    The cell equi-join replaces the cross join: work ~ (nprobe / n_cells)
+    of brute force, recall tunable via nprobe."""
+    cents = ivf_centroids(candidates, n_cells, id_col, vec_col)
+    cq = with_ivf_cell(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe"), "cell"
+    )
+    cc = with_ivf_cell(candidates, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("ce"), "cell"
+    )
+    scored = (
+        cq.join(cc, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine_col(F.col("qe"), F.col("ce")).alias("sim"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -245,6 +245,15 @@ def ann_lsh_topk(spark, sf):
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=5, n_planes=8)
 
 
+@query("ann_ivf_topk")  # rows-only: quantizer assignment not expressible in SQL
+def ann_ivf_topk(spark, sf):
+    """IVF ANN top-5: inverted-list cells + nprobe probing, exact re-rank."""
+    from data_collector_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # text analytics
 # ---------------------------------------------------------------------------
