@@ -48,9 +48,10 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     query = pq.str[1]  # NaN where no '?'
     query = query.where(query.notna(), None).astype("object")
 
+    # strip ALL trailing slashes (idempotency: '///' must not survive a
+    # pass), then restore the root slash
+    path = path.str.replace(r"/+$", "", regex=True)
     path = path.mask(path == "", "/")
-    non_root_slash = (path.str.len() > 1) & path.str.endswith("/")
-    path = path.mask(non_root_slash, path.str.slice(0, -1))
 
     has_multi = query.notna() & query.str.contains("&", regex=False)
     if has_multi.any():
