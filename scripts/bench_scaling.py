@@ -51,7 +51,12 @@ from data_collector_spark.session import get_spark
 from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
 
 cores = {cores}
-spark = get_spark("dcs-scaling", cores=cores)
+extra = {{}}
+if {local_cluster!r}:
+    import os
+    os.environ["SPARK_GRAFT_MASTER"] = f"local-cluster[{{cores}},1,4096]"
+    extra["spark.executorEnv.PYTHONPATH"] = {repo!r}
+spark = get_spark("dcs-scaling", cores=cores, extra_conf=extra)
 pages = spark.read.parquet({corpus!r})
 seeds = (pages.select(F.col("url_canon").alias("url")).orderBy("url")
          .limit({seeds}).withColumn("priority", F.lit(0)))
@@ -83,19 +88,24 @@ print("RESULT " + json.dumps({{
 
 
 def run_level(
-    cores: int, corpus: str, budget: int, rounds: int, seeds: int, repeats: int = 2
+    cores: int, corpus: str, budget: int, rounds: int, seeds: int,
+    repeats: int = 2, local_cluster: bool = False,
 ) -> dict:
     best = None
     for _ in range(repeats):
         code = RUN_TEMPLATE.format(
             repo=REPO, cores=cores, corpus=corpus, budget=budget, rounds=rounds,
-            seeds=seeds,
+            seeds=seeds, local_cluster=local_cluster,
             workdir=tempfile.mkdtemp(prefix=f"dcs_scale_{cores}_", dir=SCRATCH),
         )
-        cpus = ",".join(str(i) for i in range(cores))
+        # local-cluster = N single-core executor JVMs (the driver gets a
+        # constant extra 2-core allotment, like a separate driver node)
+        n_pin = cores + 2 if local_cluster else cores
+        cpus = ",".join(str(i) for i in range(n_pin))
+        env = dict(os.environ, SPARK_HOME=os.environ.get("SPARK_HOME", "/opt/spark"))
         out = subprocess.run(
             ["taskset", "-c", cpus, sys.executable, "-c", code],
-            capture_output=True, text=True, check=True, cwd=REPO,
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
         res = None
         for line in out.stdout.splitlines():
@@ -123,6 +133,8 @@ def main() -> None:
     ap.add_argument("--min-words", type=int, default=120)
     ap.add_argument("--max-words", type=int, default=320)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--mode", choices=["local", "local-cluster"], default="local",
+                    help="local-cluster runs N separate single-core executor JVMs")
     ap.add_argument("--corpus-dir", default=None, help="reuse an existing corpus")
     args = ap.parse_args()
 
@@ -143,8 +155,9 @@ print("GENDONE")
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
                        capture_output=True, text=True)
 
-    a = run_level(args.cores_a, corpus, args.budget, args.rounds, args.seeds, args.repeats)
-    b = run_level(args.cores_b, corpus, args.budget, args.rounds, args.seeds, args.repeats)
+    lc = args.mode == "local-cluster"
+    a = run_level(args.cores_a, corpus, args.budget, args.rounds, args.seeds, args.repeats, lc)
+    b = run_level(args.cores_b, corpus, args.budget, args.rounds, args.seeds, args.repeats, lc)
     ratio = args.cores_b / args.cores_a
     eff = (b["urls_per_sec"] / a["urls_per_sec"]) / ratio
     result = {
