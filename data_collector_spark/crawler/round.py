@@ -104,7 +104,14 @@ def run_round(
         F.broadcast(wave.select("url_canon", "url_sha1", "host", "depth", "seq_in_host")),
         "url_canon",
         "inner",
-    ).repartition(2 * spark.sparkContext.defaultParallelism, "url_sha1")
+    )
+    # extraction parallelism rides on the pages-scan splits (session sets
+    # 16 MB maxPartitionBytes); only repartition — a full shuffle of the
+    # html payloads — when the scan can't give one split per task slot
+    if pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        hits = hits.repartition(
+            2 * spark.sparkContext.defaultParallelism, "url_sha1"
+        )
     # NOTE: with_extracted(canonicalize_links=True) would save one
     # JVM<->Python hop for the link fan-out, but measured SLOWER at 8
     # cores (pandas list-rebuild cost > Arrow hop saved) — keep separate
