@@ -754,6 +754,49 @@ def u2_except(spark, sf):
 
 
 @query(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark, sf):
+    """Pivot as conditional aggregation — wide per-key layout of the
+    per-source counters the reference keeps per table (SURVEY §2.5 A10)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ]
+    )
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf):
+    """CUBE grouping sets — subtotal lattice over two dimensions (beyond
+    the reference's flat GROUP BYs; an OLAP-completeness operator)."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "s7_idempotent_insert",
     """
     SELECT count(*) AS n FROM (
