@@ -7,6 +7,11 @@ control flow, so it becomes an ordered driver-side loop of Spark job chains
 commits one snapshot, and execution mode RepeatLimited(count)
 (/root/reference/src/dag_schedule/task.rs:49-55) is ``max_rounds``.
 
+Everything that is constant across rounds is resolved ONCE before the
+loop — budget compilation, robots emptiness, corpus partition count,
+duplicate-capture detection — so the per-round serial fraction is a fixed
+handful of Spark jobs (the N-vs-4N scaling-efficiency bar).
+
 Resume: ``run_crawl`` on an existing workdir drops crash debris past the
 last committed round and continues — the analog of resuming from
 ``max(business_date)`` (/root/reference/src/actions/collect/
@@ -25,6 +30,7 @@ from data_collector_spark.crawler.round import run_round
 from data_collector_spark.crawler.state import CrawlState, RoundMetrics
 from data_collector_spark.functions.urls import with_canonical_url
 from data_collector_spark.operators.bloom import ShardedBloom
+from data_collector_spark.operators.politeness import compile_budgets
 
 SEED_EPOCH = datetime(2024, 1, 1)
 
@@ -38,17 +44,33 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits: int = 1 << 22
     bloom_k: int = 7
-    # D6 retry-with-backoff (/root/reference/src/dag_schedule/task.rs:277-329):
-    # a dead URL is re-enqueued up to retry_max times, eligible again at
-    # round n + retry_backoff_base^attempt (exponential, like the
-    # reference's Exponential variant; 0 = reference default of no retries,
-    # task.rs:250-259)
+    # D6 retry-with-backoff (/root/reference/src/dag_schedule/task.rs:263-329):
+    # a dead URL is re-enqueued up to retry_max times; the family selects
+    # the next-eligible round, mirroring the reference's BackoffMode:
+    #   constant    -> n + retry_backoff_step           (task.rs:263-276)
+    #   linear      -> n + retry_backoff_step * attempt (task.rs:277-299)
+    #   exponential -> n + retry_backoff_base^(attempt-1) (task.rs:300-329)
+    # retry_max=0 = reference default of no retries (task.rs:250-259)
     retry_max: int = 0
+    retry_backoff: str = "exponential"
     retry_backoff_base: int = 2
+    retry_backoff_step: int = 1
     # R6/A4 stale re-crawl: URLs last fetched > ttl rounds ago re-enter
     # the frontier at this priority; 0 disables (fetch-once crawl)
     recrawl_ttl_rounds: int = 0
     recrawl_priority: int = 2
+    # R2 daily budgets (/root/reference/src/api_keys/api_key.rs:79-106):
+    # at most daily_budget requests per host per rounds_per_day-round
+    # window, resetting at the window boundary; 0 disables
+    daily_budget: int = 0
+    rounds_per_day: int = 0
+    # wave-size gate for the fetch/dead broadcasts: above this the joins
+    # run as shuffle joins (at cluster scale: storage-partitioned joins on
+    # the Iceberg bucket(url_canon) layout) instead of multi-GB broadcasts
+    wave_broadcast_max_rows: int = 5_000_000
+    # None = detect duplicate captures with one corpus scan at crawl
+    # start; True/False skips the scan (e.g. a snapshot known unique)
+    corpus_unique_urls: bool | None = None
 
     def make_bloom(self) -> ShardedBloom | None:
         if not self.use_bloom:
@@ -94,6 +116,15 @@ def init_crawl(
     state.commit(-1, None, extra={"initialized": True})
 
 
+def _frontier_rows_estimate(m: RoundMetrics) -> int:
+    """Rows written to frontier round N+1 — exact by construction
+    (the accounting identity the tests pin)."""
+    return (
+        m.deferred_by_politeness + m.enqueued + m.held_by_backoff
+        + m.retried + m.recrawled
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     workdir: str,
@@ -112,20 +143,39 @@ def run_crawl(
         state.drop_uncommitted()
     bloom = cfg.load_bloom(state.bloom_dir())
 
+    # ---- once-per-crawl setup (never repeated inside the round loop) ----
+    budget_spec = compile_budgets(spark, budgets, cfg.default_budget)
+    robots_rules = robots if robots.limit(1).count() > 0 else None
+    pages_partitions = pages.rdd.getNumPartitions()
+    if cfg.corpus_unique_urls is None:
+        # one column-pruned scan: do multiple captures of one URL exist?
+        dedup_captures = (
+            pages.groupBy("url_canon").count().filter("count > 1").limit(1).count() > 0
+        )
+    else:
+        dedup_captures = not cfg.corpus_unique_urls
+
     metrics: list[RoundMetrics] = []
     start = state.last_committed_round() + 1  # type: ignore[operator]
+    frontier_rows = state.read_round(spark, "frontier", start).count()
     for n in range(start, cfg.max_rounds):
         # recrawl mode keeps ticking: an empty frontier refills once the
         # TTL elapses; otherwise an empty frontier means the crawl drained
-        if (
-            cfg.recrawl_ttl_rounds == 0
-            and state.read_round(spark, "frontier", n).limit(1).count() == 0
-        ):
+        if cfg.recrawl_ttl_rounds == 0 and frontier_rows == 0:
             break
         m = run_round(
-            spark, state, pages, robots, budgets, bloom, n,
-            default_budget=cfg.default_budget, skew_salt=cfg.skew_salt,
-            retry_max=cfg.retry_max, retry_backoff_base=cfg.retry_backoff_base,
+            spark, state, pages, robots_rules, budget_spec, bloom, n,
+            skew_salt=cfg.skew_salt,
+            retry_max=cfg.retry_max,
+            retry_backoff=cfg.retry_backoff,
+            retry_backoff_base=cfg.retry_backoff_base,
+            retry_backoff_step=cfg.retry_backoff_step,
+            daily_budget=cfg.daily_budget,
+            rounds_per_day=cfg.rounds_per_day,
+            est_wave_rows=frontier_rows,
+            wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
+            pages_partitions=pages_partitions,
+            dedup_captures=dedup_captures,
         )
         if cfg.recrawl_ttl_rounds > 0:
             from data_collector_spark.operators.recrawl import stale_recrawl_candidates
@@ -135,7 +185,15 @@ def run_crawl(
             stale = stale_recrawl_candidates(
                 log_all, fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority
             )
-            state.append_round("frontier", n + 1, stale)
+            # materialize to a side table FIRST: appending into a directory
+            # another plan is lazily reading is a read-your-own-writes
+            # hazard (Spark snapshots file listings at analysis time)
+            state.write_round("recrawl", n + 1, stale)
+            stale_mat = state.read_round(spark, "recrawl", n + 1)
+            m.recrawled = stale_mat.count()
+            if m.recrawled:
+                state.append_round("frontier", n + 1, stale_mat)
         state.commit(n, m)
         metrics.append(m)
+        frontier_rows = _frontier_rows_estimate(m)
     return metrics

@@ -9,16 +9,28 @@ declarative DataFrame plan per stage with a snapshot commit at the end.
 Stages (all lazy until the writes):
  1. frontier_N scan (partition-pruned: one round=N directory)
  2. robots broadcast anti-filter             (warden, J6/R6)
- 3. politeness wave pop, skew-salted window  (W1-W3, R1-R5)
- 4. "fetch" = broadcast-join the wave against the pages corpus — the wave
-    is bounded by sum(host budgets), so it broadcasts; the 100 TB side
-    streams by with partition pruning on its (bucket(url), days(warc_ts))
-    layout, never shuffling
+ 3. politeness wave pop, skew-salted window  (W1-W3, R1-R5), optional
+    daily-budget caps (R2)
+ 4. "fetch" = join the wave against the pages corpus. The wave is bounded
+    by sum(host budgets); when the estimated wave is under
+    ``wave_broadcast_max_rows`` it broadcasts and the 100 TB side streams
+    by with partition pruning, never shuffling. Above the threshold the
+    join falls back to a shuffle join — at cluster scale the pages table
+    is Iceberg-bucketed by url_canon, so that join becomes a
+    storage-partitioned join (no pages shuffle) rather than an
+    executor-OOM-sized broadcast.
  5. extract text + links, one Arrow pass     (S3/F12 + byte-identical rule)
  6. within-round dedup (groupBy url_sha1, deterministic min) then
     Bloom-prefiltered anti-join vs seen      (J5/S7)
  7. write fetch_log / pages_out / frontier_{N+1} / seen delta; update
     Bloom shards; commit metrics (D9 ExecutionStats analog)
+
+Driver-synchronization budget: every counter a round reports rides the
+write actions as an ``Observation`` (CollectMetrics nodes inside the plans
+that must execute anyway) — the round runs a fixed number of Spark jobs
+(4 writes + 1 cached-candidate count + 1 lineage top-k + bloom build)
+regardless of data size, so the serial driver fraction stays flat as
+executors scale (the N-vs-4N efficiency bar in BASELINE.json).
 
 The Bloom update lands *before* the manifest commit: a crash in between
 leaves extra bits set, which only causes false positives — and every
@@ -29,7 +41,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_collector_spark.crawler.state import (
@@ -41,7 +53,7 @@ from data_collector_spark.crawler.state import (
 from data_collector_spark.functions.extract import with_extracted
 from data_collector_spark.functions.urls import with_canonical_url
 from data_collector_spark.operators.bloom import ShardedBloom
-from data_collector_spark.operators.politeness import pop_wave
+from data_collector_spark.operators.politeness import BudgetSpec, pop_wave_spec
 from data_collector_spark.operators.robots import split_robots
 from data_collector_spark.operators.seen import dedup_against_seen
 
@@ -50,23 +62,99 @@ PAGES_OUT_SCHEMA = (
     "warc_ts timestamp, extracted_text string, links array<string>"
 )
 
+FRONTIER_COLS = [
+    "url_canon", "url_sha1", "host", "depth", "discovery_ts",
+    "priority", "attempt", "not_before_round",
+]
+
+
+def _n(metrics: dict, key: str) -> int:
+    v = metrics.get(key)
+    return int(v) if v is not None else 0
+
+
+def _retry_not_before(round_n: int, kind: str, base: int, step: int):
+    """Next eligible round per D6 backoff family
+    (/root/reference/src/dag_schedule/task.rs:263-329: Constant / Linear /
+    Exponential; the reference sleeps the computed duration, executors
+    defer to the computed round instead). ``attempt`` is the post-increment
+    attempt number."""
+    a = F.col("attempt")
+    if kind == "constant":
+        delta = F.lit(step)
+    elif kind == "linear":
+        delta = F.lit(step) * a
+    elif kind == "exponential":
+        delta = F.pow(F.lit(base), a - 1).cast("int")
+    else:
+        raise ValueError(f"unknown retry_backoff family: {kind!r}")
+    return F.lit(round_n) + delta
+
+
+def daily_host_caps(
+    spark: SparkSession,
+    state: CrawlState,
+    round_n: int,
+    daily_budget: int,
+    rounds_per_day: int,
+) -> DataFrame | None:
+    """R2 daily budgets (/root/reference/src/api_keys/api_key.rs:79-106,
+    160-168: 250 requests/day/key, reset at a fixed boundary).
+
+    A "day" is ``rounds_per_day`` rounds; requests spent since the window
+    opened (fetched + dead statuses — robots blocks never issued a
+    request) reduce the remaining allowance. Returns (host, remaining) or
+    None when the window just reset (no spend yet)."""
+    day_start = (round_n // rounds_per_day) * rounds_per_day
+    spent = [
+        state.read_round(spark, "fetch_log", r, FETCH_LOG_SCHEMA)
+        for r in range(day_start, round_n)
+        if state.has_round("fetch_log", r)
+    ]
+    if not spent:
+        return None
+    logs = spent[0]
+    for df in spent[1:]:
+        logs = logs.unionByName(df)
+    return (
+        logs.filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("host")
+        .agg((F.lit(daily_budget) - F.count("*")).cast("int").alias("remaining"))
+    )
+
 
 def run_round(
     spark: SparkSession,
     state: CrawlState,
     pages: DataFrame,
-    robots: DataFrame,
-    budgets: DataFrame,
+    robots: DataFrame | None,
+    budget_spec: BudgetSpec,
     bloom: ShardedBloom | None,
     round_n: int,
-    default_budget: int = 2,
     skew_salt: int = 16,
     retry_max: int = 0,
+    retry_backoff: str = "exponential",
     retry_backoff_base: int = 2,
+    retry_backoff_step: int = 1,
+    daily_budget: int = 0,
+    rounds_per_day: int = 0,
+    est_wave_rows: int | None = None,
+    wave_broadcast_max_rows: int = 5_000_000,
+    pages_partitions: int | None = None,
+    dedup_captures: bool = False,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
-    ``pages`` must carry url_canon, html, warc_ts, text, lang.
+    ``pages`` must carry url_canon, html, warc_ts.
+    ``robots`` is None when the rules table is empty (checked once per
+    crawl by the driver, not per round).
+    ``est_wave_rows`` gates the wave/fetched broadcasts: above
+    ``wave_broadcast_max_rows`` the joins run as shuffle joins instead of
+    multi-GB broadcasts (the 10^7-URL-wave OOM hazard at cluster scale).
+    ``dedup_captures=True`` collapses multiple corpus captures of one URL
+    (e.g. repeated WARC snapshots) to the latest (warc_ts, md5(html))
+    before extraction — detected once per crawl by the driver, so unique
+    corpora never pay the extra shuffle.
     """
     t0 = time.monotonic()
     m = RoundMetrics(round=round_n)
@@ -77,38 +165,69 @@ def run_round(
         m.phase_sec[phase] = round(now - _last[0], 2)
         _last[0] = now
 
+    def gated_broadcast(df: DataFrame) -> DataFrame:
+        if est_wave_rows is not None and est_wave_rows > wave_broadcast_max_rows:
+            return df
+        return F.broadcast(df)
+
     frontier_n = state.read_round(spark, "frontier", round_n, FRONTIER_SCHEMA)
     # D6 backoff hold: entries whose retry window hasn't opened pass
     # through untouched (the reference sleeps between retries,
     # task.rs:277-329; executors never sleep — they defer)
-    held = frontier_n.filter(F.col("not_before_round") > round_n)
+    obs_held = Observation()
+    held = frontier_n.filter(F.col("not_before_round") > round_n).observe(
+        obs_held, F.count(F.lit(1)).alias("n")
+    )
     frontier_n = frontier_n.filter(F.col("not_before_round") <= round_n)
-    # robots is a tiny config table; when empty, skip the whole branch
-    # (saves one frontier-wide job per round)
-    if robots.limit(1).count() > 0:
+    if robots is not None:
         allowed, blocked = split_robots(frontier_n, robots)
     else:
         allowed, blocked = frontier_n, None
 
-    wave, deferred = pop_wave(allowed, budgets, default_budget, skew_salt)
+    host_caps = None
+    if daily_budget > 0 and rounds_per_day > 0:
+        host_caps = daily_host_caps(spark, state, round_n, daily_budget, rounds_per_day)
+    wave, deferred = pop_wave_spec(
+        allowed, budget_spec, skew_salt,
+        host_caps=host_caps, default_remaining=daily_budget,
+    )
     wave = wave.persist()
-    m.robots_blocked = blocked.count() if blocked is not None else 0
     mark("pop_wave")
 
-    # fetch + extract, one Arrow pass, written once and re-read for fan-out.
-    # The hits set is budget-bounded, so repartitioning it is cheap and
-    # guarantees the extract UDF parallelizes even when the pages scan
-    # produced few splits (small-file corpora) or the join preserved a
-    # narrow partitioning.
-    hits = pages.join(
-        F.broadcast(wave.select("url_canon", "url_sha1", "host", "depth", "seq_in_host")),
+    # fetch + extract, one Arrow pass, written once and re-read for fan-out
+    pages_slim = pages.select("url_canon", "warc_ts", "html")
+    hits = pages_slim.join(
+        gated_broadcast(
+            wave.select("url_canon", "url_sha1", "host", "depth", "seq_in_host")
+        ),
         "url_canon",
         "inner",
     )
+    if dedup_captures:
+        # multiple captures of one URL fan the join out; keep the latest
+        # (warc_ts, md5(html)) per URL — the group set is wave-bounded, so
+        # this shuffle never exceeds the politeness budget x multiplicity
+        hits = (
+            hits.groupBy("url_canon", "url_sha1", "host", "depth", "seq_in_host")
+            .agg(
+                F.max_by(
+                    F.struct("warc_ts", "html"),
+                    F.struct("warc_ts", F.md5("html")),
+                ).alias("_pg")
+            )
+            .select(
+                "url_canon", "url_sha1", "host", "depth", "seq_in_host",
+                F.col("_pg.warc_ts").alias("warc_ts"),
+                F.col("_pg.html").alias("html"),
+            )
+        )
     # extraction parallelism rides on the pages-scan splits (session sets
     # 16 MB maxPartitionBytes); only repartition — a full shuffle of the
     # html payloads — when the scan can't give one split per task slot
-    if pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if (
+        pages_partitions is not None
+        and pages_partitions < spark.sparkContext.defaultParallelism
+    ):
         hits = hits.repartition(
             2 * spark.sparkContext.defaultParallelism, "url_sha1"
         )
@@ -119,18 +238,23 @@ def run_round(
         "url_canon", "url_sha1", "host", "depth", "seq_in_host",
         "warc_ts", "extracted_text", "links",
     )
+    obs_pages = Observation()
+    extracted = extracted.observe(
+        obs_pages,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("links")).alias("links"),
+    )
     state.write_round("pages_out", round_n, extracted)
+    pm = obs_pages.get
+    m.fetched = _n(pm, "n")
+    m.links_extracted = _n(pm, "links")
     fetched = state.read_round(spark, "pages_out", round_n, PAGES_OUT_SCHEMA)
-    stats = fetched.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("links"),
-    ).collect()[0]
-    m.fetched = stats["n"]
-    m.links_extracted = int(stats["links"])
     mark("fetch_extract")
 
     # fetch_log: per-host ordering lineage (replay-equivalence invariant)
-    dead = wave.join(F.broadcast(fetched.select("url_sha1")), "url_sha1", "left_anti")
+    dead = wave.join(
+        gated_broadcast(fetched.select("url_sha1")), "url_sha1", "left_anti"
+    )
     log = (
         fetched.select("url_canon", "url_sha1", "host", "seq_in_host")
         .withColumn("status", F.lit("fetched"))
@@ -146,20 +270,31 @@ def run_round(
             .withColumn("seq_in_host", F.lit(None).cast("int"))
             .withColumn("status", F.lit("robots")),
         )
+    obs_log = Observation()
+    log = log.observe(
+        obs_log,
+        F.count(F.when(F.col("status") == "dead", 1)).alias("dead"),
+        F.count(F.when(F.col("status") == "robots", 1)).alias("robots"),
+    )
     state.write_round("fetch_log", round_n, log)
-    m.dead = wave.count() - m.fetched
-    # D6: re-enqueue dead URLs with exponential round backoff
+    lm = obs_log.get
+    m.dead = _n(lm, "dead")
+    m.robots_blocked = _n(lm, "robots")
+    # D6: re-enqueue dead URLs, next-eligible round per backoff family
     retries = None
     if retry_max > 0:
+        obs_retry = Observation()
         retries = (
             dead.filter(F.col("attempt") < retry_max)
             .withColumn("attempt", F.col("attempt") + 1)
             .withColumn(
                 "not_before_round",
-                F.lit(round_n)
-                + F.pow(F.lit(retry_backoff_base), F.col("attempt") - 1).cast("int"),
+                _retry_not_before(
+                    round_n, retry_backoff, retry_backoff_base, retry_backoff_step
+                ),
             )
-            .drop("seq_in_host", "_budget")
+            .drop("seq_in_host")
+            .observe(obs_retry, F.count(F.lit(1)).alias("n"))
         )
     mark("fetch_log")
 
@@ -196,34 +331,43 @@ def run_round(
         spark, cand_unique, seen_all.select("url_sha1") if seen_all is not None else None, bloom
     ).persist()
 
-    frontier_cols = [
-        "url_canon", "url_sha1", "host", "depth", "discovery_ts",
-        "priority", "attempt", "not_before_round",
-    ]
-    frontier_next = deferred.select(*frontier_cols).unionByName(
-        new_entries.select(*frontier_cols)
-    ).unionByName(held.select(*frontier_cols))
+    obs_def = Observation()
+    frontier_next = (
+        deferred.select(*FRONTIER_COLS)
+        .observe(obs_def, F.count(F.lit(1)).alias("n"))
+        .unionByName(new_entries.select(*FRONTIER_COLS))
+        .unionByName(held.select(*FRONTIER_COLS))
+    )
     if retries is not None:
-        frontier_next = frontier_next.unionByName(retries.select(*frontier_cols))
+        frontier_next = frontier_next.unionByName(retries.select(*FRONTIER_COLS))
     state.write_round("frontier", round_n + 1, frontier_next)
     mark("frontier_write")
-    state.write_round("seen", round_n + 1, new_entries.select("url_sha1", "url_canon"))
+
+    obs_seen = Observation()
+    state.write_round(
+        "seen",
+        round_n + 1,
+        new_entries.select("url_sha1", "url_canon").observe(
+            obs_seen, F.count(F.lit(1)).alias("n")
+        ),
+    )
     mark("seen_write")
 
-    seen_delta = state.read_round(spark, "seen", round_n + 1, "url_sha1 string, url_canon string")
-    m.enqueued = seen_delta.count()
+    m.enqueued = _n(obs_seen.get, "n")
+    m.deferred_by_politeness = _n(obs_def.get, "n")
+    m.held_by_backoff = _n(obs_held.get, "n")
+    m.retried = _n(obs_retry.get, "n") if retries is not None else 0
+    # one cached-scan job: candidate cardinality for the dedup counter
+    # (everything else rode the write actions as observations)
     uniq = cand_unique.count()
     m.deduped = uniq - m.enqueued
-    m.held_by_backoff = held.count()
-    m.retried = retries.count() if retries is not None else 0
-    frontier_total = state.read_round(spark, "frontier", round_n + 1, FRONTIER_SCHEMA).count()
-    m.deferred_by_politeness = (
-        frontier_total - m.enqueued - m.held_by_backoff - m.retried
-    )
-
     mark("counters")
+
     if bloom is not None:
         if m.enqueued:
+            seen_delta = state.read_round(
+                spark, "seen", round_n + 1, "url_sha1 string, url_canon string"
+            )
             bloom.add_df(seen_delta)
         bloom.save(state.bloom_dir())
     mark("bloom")

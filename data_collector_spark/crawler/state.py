@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "fetch_log", "pages_out")
+TABLES = ("frontier", "seen", "fetch_log", "pages_out", "recrawl")
 
 FRONTIER_SCHEMA = (
     "url_canon string, url_sha1 string, host string, depth int, "
@@ -46,6 +46,7 @@ class RoundMetrics:
     deferred_by_politeness: int = 0
     held_by_backoff: int = 0
     retried: int = 0
+    recrawled: int = 0        # stale URLs re-enqueued by the TTL warden
     links_extracted: int = 0
     deduped: int = 0          # dropped as already-seen (incl. within-round dups)
     enqueued: int = 0         # new frontier entries
@@ -131,10 +132,11 @@ class CrawlState:
                 if not entry.startswith("round="):
                     continue
                 n = int(entry.split("=", 1)[1])
-                # round N writes frontier/round=N+1 and seen/round=N+1 before
-                # committing last_round=N; init writes both at round 0
+                # round N writes frontier/round=N+1, seen/round=N+1 and
+                # recrawl/round=N+1 before committing last_round=N; init
+                # writes frontier+seen at round 0
                 limit = (last if last is not None else -1) + (
-                    1 if table in ("frontier", "seen") else 0
+                    1 if table in ("frontier", "seen", "recrawl") else 0
                 )
                 if n > limit:
                     shutil.rmtree(os.path.join(base, entry))

@@ -30,10 +30,19 @@ _WS_RE = r"\s+"
 _HREF_RE = r"(?is)<a\s[^>]*?href\s*=\s*\"([^\"]*)\""
 
 
+def _decode_cell(v) -> str:
+    """Per-element decode: a batch may mix NULLs with bytes (or arrive as
+    str from a string-typed column) — sniffing only the first element
+    corrupted whole batches whose first value was NULL."""
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return str(v)
+
+
 def _decode(html: pd.Series) -> pd.Series:
-    if html.dtype == object and len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
-        return html.map(lambda b: bytes(b).decode("utf-8", "replace") if b is not None else "")
-    return html.astype("object").fillna("").astype(str)
+    return html.map(_decode_cell)
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:

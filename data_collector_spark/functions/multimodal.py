@@ -33,9 +33,15 @@ def decode_image(payload: bytes):
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic (n_bytes, width, height, kind) from raw bytes."""
+    """Deterministic (n_bytes, width, height, kind) from raw bytes.
+
+    ``kind`` keys off the first *character* codepoint of the UTF-8-decoded
+    payload (not the first raw byte): the oracle computes
+    ``ascii(substr(text, 1, 1))``, and the two diverge for multi-byte
+    leading characters (e.g. 'é' -> byte 195 vs codepoint 233)."""
     n = len(payload)
-    first = payload[0] if n else 0
+    text = payload.decode("utf-8", "replace")
+    first = ord(text[0]) if text else 0
     return n, n % 640, n % 480, _KINDS[first % 3]
 
 

@@ -39,13 +39,23 @@ _U64 = np.uint64
 
 
 def add_hash_cols(df: DataFrame, sha_col: str = "url_sha1", n_shards: int = 16) -> DataFrame:
-    """h1/h2/shard derived from the sha1 hex, JVM-side (codegen, no UDF)."""
+    """h1/h2/shard derived from the sha1 hex, JVM-side (codegen, no UDF).
+
+    The shard id comes from h1's HIGH bits: probe position 0 is
+    ``h1 & (m-1)`` (low bits), and with both moduli powers of two a
+    low-bit shard would confine every key's first probe to the same
+    m/n_shards slot slice per shard — saturating it and costing ~one hash
+    function of selectivity. High bits are independent of all probe
+    positions' low-bit structure.
+    """
     h1 = F.conv(F.substring(sha_col, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(sha_col, 16, 15), 16, 10).cast("long")
     return (
         df.withColumn("_h1", h1)
         .withColumn("_h2", h2)
-        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "_shard", F.pmod(F.shiftright(F.col("_h1"), 32), F.lit(n_shards)).cast("int")
+        )
     )
 
 

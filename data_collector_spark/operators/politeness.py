@@ -19,16 +19,110 @@ Skew handling (north_rule; the reference never needed it): a hot host may
 hold most of the frontier, and a per-host window sorts the whole host in
 one task. So stage 1 salts the window — top-Bmax per (host, salt) — which
 bounds any window partition to ~|host|/S rows; stage 2 ranks the <= S*Bmax
-survivors per host exactly. Both stages are JVM window ops (no UDF); the
-deferred set is recovered with a broadcast anti-join against the small wave.
+survivors per host exactly. Both stages are JVM window ops (no UDF).
+
+The deferred set is NOT recovered with a join: it is exactly the rows the
+two window stages trimmed (``_rn1 > bmax`` at stage 1, ``seq > budget`` at
+stage 2), so both branches re-derive from the same window plans — no
+broadcast, no shuffle beyond the windows themselves, safe at any wave size.
+
+Daily budgets (R2, /root/reference/src/api_keys/api_key.rs:79-106,160-168:
+250 req/day with a reset boundary) ride the same plan: an optional
+``host_caps`` table (host, remaining) — requests already spent in the
+current budget window — tightens the per-round budget to
+``min(budget_per_round, remaining)``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ORDER_COLS = ("priority", "depth", "discovery_ts", "url_sha1")
+
+
+@dataclass(frozen=True)
+class BudgetSpec:
+    """Compiled per-host budgets — built ONCE per crawl, not per round.
+
+    The reference re-reads its key budgets per request (api_key.rs:160-168);
+    a driver-side collect per round would serialize every round on a tiny
+    job, so the (small, static) budget table is compiled to a broadcastable
+    DataFrame + scalar bounds up front.
+    """
+
+    bdf: DataFrame | None  # (host, budget_per_round), default row removed
+    default_budget: int
+    bmax: int
+
+
+def compile_budgets(
+    spark: SparkSession, budgets: DataFrame, default_budget: int = 2
+) -> BudgetSpec:
+    """budgets: (host, budget_per_round); row with host='' sets the default
+    (mirrors the per-provider budgets of /root/reference/src/api_keys/
+    api_key.rs:164-166,234-236)."""
+    bmap = {r["host"]: int(r["budget_per_round"]) for r in budgets.collect()}
+    default_budget = bmap.pop("", default_budget)
+    bmax = max([default_budget, *bmap.values()]) if bmap else default_budget
+    bdf = None
+    if bmap:
+        bdf = spark.createDataFrame(
+            list(bmap.items()), "host string, budget_per_round int"
+        )
+    return BudgetSpec(bdf=bdf, default_budget=default_budget, bmax=bmax)
+
+
+def pop_wave_spec(
+    frontier: DataFrame,
+    spec: BudgetSpec,
+    skew_salt: int = 16,
+    host_caps: DataFrame | None = None,
+    default_remaining: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (wave with seq_in_host, deferred). Deterministic given the inputs.
+
+    host_caps: optional (host, remaining) — per-host requests left in the
+    current daily window; effective budget = min(per_round, remaining).
+    Hosts absent from host_caps have spent nothing, so they get
+    ``default_remaining`` (the full daily allowance).
+    """
+    f = frontier
+    if spec.bdf is not None:
+        f = f.join(F.broadcast(spec.bdf), "host", "left").withColumn(
+            "_budget", F.coalesce("budget_per_round", F.lit(spec.default_budget))
+        ).drop("budget_per_round")
+    else:
+        f = f.withColumn("_budget", F.lit(spec.default_budget))
+    if host_caps is not None:
+        f = f.join(F.broadcast(host_caps), "host", "left").withColumn(
+            "_budget",
+            F.least(
+                "_budget",
+                F.greatest(F.coalesce("remaining", F.lit(default_remaining)), F.lit(0)),
+            ),
+        ).drop("remaining")
+
+    order = [F.col(c).asc() for c in ORDER_COLS]
+    out_cols = list(frontier.columns)
+
+    # stage 1: salted pre-trim bounds window-partition size under skew
+    salted = f.withColumn("_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(skew_salt)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    staged1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    cand = staged1.filter(F.col("_rn1") <= spec.bmax).drop("_rn1", "_salt")
+    trimmed1 = staged1.filter(F.col("_rn1") > spec.bmax)
+
+    # stage 2: exact per-host rank over the bounded candidate set
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = cand.withColumn("seq_in_host", F.row_number().over(w2))
+    wave = ranked.filter(F.col("seq_in_host") <= F.col("_budget")).drop("_budget")
+    trimmed2 = ranked.filter(F.col("seq_in_host") > F.col("_budget"))
+
+    deferred = trimmed1.select(*out_cols).unionByName(trimmed2.select(*out_cols))
+    return wave, deferred
 
 
 def pop_wave(
@@ -37,45 +131,6 @@ def pop_wave(
     default_budget: int = 2,
     skew_salt: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (wave with seq_in_host, deferred). Deterministic given the inputs.
-
-    budgets: (host, budget_per_round); row with host='' sets the default,
-    overriding ``default_budget`` (mirrors the per-provider budgets of
-    /root/reference/src/api_keys/api_key.rs:164-166,234-236).
-    """
-    brows = [(r["host"], int(r["budget_per_round"])) for r in budgets.collect()]
-    bmap = dict(brows)
-    default_budget = bmap.pop("", default_budget)
-    bmax = max([default_budget, *bmap.values()]) if bmap else default_budget
-
-    spark = frontier.sparkSession
-    if bmap:
-        bdf = spark.createDataFrame(
-            list(bmap.items()), "host string, budget_per_round int"
-        )
-        f = frontier.join(F.broadcast(bdf), "host", "left").withColumn(
-            "_budget", F.coalesce("budget_per_round", F.lit(default_budget))
-        ).drop("budget_per_round")
-    else:
-        f = frontier.withColumn("_budget", F.lit(default_budget))
-
-    order = [F.col(c).asc() for c in ORDER_COLS]
-
-    # stage 1: salted pre-trim bounds window-partition size under skew
-    salted = f.withColumn("_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(skew_salt)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
-    cand = (
-        salted.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= bmax)
-        .drop("_rn1", "_salt")
-    )
-
-    # stage 2: exact per-host rank over the bounded candidate set
-    w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = cand.withColumn("seq_in_host", F.row_number().over(w2))
-    wave = ranked.filter(F.col("seq_in_host") <= F.col("_budget")).drop("_budget")
-
-    deferred = frontier.join(
-        F.broadcast(wave.select("url_sha1")), "url_sha1", "left_anti"
-    )
-    return wave, deferred
+    """One-shot convenience wrapper: compile the budget table and pop."""
+    spec = compile_budgets(frontier.sparkSession, budgets, default_budget)
+    return pop_wave_spec(frontier, spec, skew_salt)

@@ -165,6 +165,63 @@ def test_bloom_off_equals_bloom_on(spark, tmp_path, corpus):
     assert a == b
 
 
+def test_duplicate_captures_fetch_once(spark, tmp_path):
+    """A corpus with multiple WARC captures of one URL (detected at crawl
+    start) yields exactly one fetch of the LATEST capture — the
+    'no URL fetched twice' invariant holds on non-unique corpora."""
+    from datetime import datetime
+
+    rows = [
+        ("http://dup.test/a", datetime(2024, 1, 1), b"<p>old capture</p>"),
+        ("http://dup.test/a", datetime(2024, 3, 1), b"<p>new capture</p>"),
+        ("http://dup.test/b", datetime(2024, 1, 1), b"<p>only one</p>"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url_canon string, warc_ts timestamp, html binary"
+    )
+    seeds = spark.createDataFrame(
+        [("http://dup.test/a", 0), ("http://dup.test/b", 0)],
+        "url string, priority int",
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 5)], "host string, budget_per_round int")
+    wd = str(tmp_path / "dup_wd")
+    metrics = run_crawl(
+        spark, wd, pages, seeds, robots, budgets, CrawlConfig(max_rounds=1)
+    )
+    state = CrawlState(wd)
+    log = state.read_all(spark, "fetch_log").filter(F.col("status") == "fetched")
+    assert log.groupBy("url_sha1").count().filter("count > 1").count() == 0
+    assert metrics[0].fetched == 2 and metrics[0].dead == 0
+    got = {
+        r["url_canon"]: r["extracted_text"]
+        for r in state.read_all(spark, "pages_out").collect()
+    }
+    assert got["http://dup.test/a"] == "new capture"  # latest warc_ts wins
+
+
+def test_broadcast_gate_preserves_semantics(spark, tmp_path, corpus):
+    """wave_broadcast_max_rows=0 forces the shuffle-join path; results must
+    be identical to the broadcast path."""
+    _, _, st_b = crawl(spark, tmp_path, corpus, "gate_bcast")
+    _, _, st_s = crawl(
+        spark, tmp_path, corpus, "gate_shuffle",
+        CrawlConfig(max_rounds=3, wave_broadcast_max_rows=0),
+    )
+
+    def snap(st):
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+        return seen, log
+
+    assert snap(st_b) == snap(st_s)
+
+
 def test_counters_consistent(spark, tmp_path, corpus):
     _, metrics, state = crawl(spark, tmp_path, corpus, "counters")
     for m in metrics:
@@ -175,7 +232,10 @@ def test_counters_consistent(spark, tmp_path, corpus):
         )
         assert log_n == m.fetched
         assert m.deduped >= 0 and m.deferred_by_politeness >= 0
-        # frontier_{n+1} = deferred + enqueued + backoff-held + retried
+        # frontier_{n+1} = deferred + enqueued + backoff-held + retried + recrawled
         fn = state.read_round(spark, "frontier", m.round + 1).count()
-        assert fn == m.deferred_by_politeness + m.enqueued + m.held_by_backoff + m.retried
+        assert fn == (
+            m.deferred_by_politeness + m.enqueued + m.held_by_backoff
+            + m.retried + m.recrawled
+        )
         assert m.per_partition  # lineage populated

@@ -81,6 +81,37 @@ def test_minhash_stays_jvm_side(spark, sf_dir):
     assert "xxhash64" in p.lower() or "WholeStageCodegen" in p
 
 
+def test_deferred_derived_without_join(spark):
+    """The politeness deferred set is the window-trimmed rows — recovering
+    it must NOT join (the old broadcast anti-join OOMs on 10^7-URL waves)."""
+    import hashlib
+    from datetime import datetime
+
+    from data_collector_spark.operators.politeness import pop_wave
+
+    rows = [
+        (
+            f"http://h{i%3}.test/p/{i}",
+            hashlib.sha1(f"u{i}".encode()).hexdigest(),
+            f"h{i%3}.test",
+            0,
+            datetime(2024, 1, 1),
+            0,
+        )
+        for i in range(50)
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "url_canon string, url_sha1 string, host string, depth int, "
+        "discovery_ts timestamp, priority int",
+    )
+    budgets = spark.createDataFrame([("", 2)], "host string, budget_per_round int")
+    _, deferred = pop_wave(f, budgets)
+    p = plan_of(deferred)
+    assert "Join" not in p
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+
+
 def test_fetch_join_broadcasts_wave(spark, sf_dir):
     """pages ⋈ wave must broadcast the (budget-bounded) wave side."""
     pages = spark.createDataFrame(

@@ -82,3 +82,47 @@ def test_empty_frontier(spark):
     f = make_frontier(spark).limit(0)
     wave, deferred = pop_wave(f, budgets_df(spark, [("", 2)]))
     assert wave.count() == 0 and deferred.count() == 0
+
+
+def test_daily_budget_exhausts_and_resets(spark, tmp_path):
+    """R2 (/root/reference/src/api_keys/api_key.rs:79-106): a host may
+    spend at most daily_budget requests per rounds_per_day window; it goes
+    quiet mid-window when exhausted and resumes at the reset boundary."""
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import synth_pages
+
+    corpus_dir = str(tmp_path / "daily_corpus")
+    synth_pages(spark, 10, n_hosts=1, links_per_page=2, dead_frac=0.0,
+                partitions=1).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).withColumn(
+        "priority", F.lit(0)
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 3)], "host string, budget_per_round int")
+    metrics = run_crawl(
+        spark, str(tmp_path / "daily_wd"), pages, seeds, robots, budgets,
+        CrawlConfig(max_rounds=5, default_budget=3,
+                    daily_budget=5, rounds_per_day=3),
+    )
+    state = CrawlState(str(tmp_path / "daily_wd"))
+    per_round = {
+        r["round"]: r["n"]
+        for r in state.read_all(spark, "fetch_log")
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    # day 1 (rounds 0-2): 3 then 2 (5 total, exhausted), then 0;
+    # day 2 (rounds 3-4): reset -> 3 then 2 again
+    assert [per_round.get(n, 0) for n in range(5)] == [3, 2, 0, 3, 2]
+    # exhausted-but-eligible URLs are deferred, never dropped
+    assert all(m.deferred_by_politeness >= 0 for m in metrics)
+    # within any window, no host exceeds the daily allowance
+    day_tot = (
+        state.read_all(spark, "fetch_log")
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy((F.col("round") / 3).cast("int").alias("day"), "host")
+        .agg(F.count("*").alias("n"))
+    )
+    assert day_tot.filter(F.col("n") > 5).count() == 0
