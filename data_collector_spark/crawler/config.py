@@ -8,6 +8,14 @@ src/configuration.rs:125-157) and *panics* on invalid graphs
 unknown keys, non-positive bounds, and missing inputs fail fast before
 any Spark job runs.
 
+Layering mirrors configuration.rs:125-157 (base.yaml + {environment}.yaml
++ APP_* env vars with '__' separators, later layers winning):
+
+    base file  <  overlay file (optional)  <  DCS__section__key env vars
+
+e.g. ``DCS__crawl__max_rounds=8`` overrides crawl.max_rounds, and
+``DCS__workdir=/elsewhere`` overrides the top-level workdir.
+
 Example (YAML or JSON):
 
     crawl:
@@ -34,13 +42,14 @@ from data_collector_spark.crawler.driver import CrawlConfig
 _CRAWL_KEYS = {f.name for f in dataclasses.fields(CrawlConfig)}
 _INPUT_KEYS = {"pages", "seeds", "robots", "budgets"}
 
+ENV_PREFIX = "DCS"  # the reference uses APP_ (configuration.rs:144-152)
+
 
 class PipelineConfigError(ValueError):
     pass
 
 
-def load_pipeline(path: str) -> tuple[CrawlConfig, dict[str, str], str]:
-    """-> (CrawlConfig, input paths, workdir). Raises on any invalid shape."""
+def _read_doc(path: str) -> dict:
     with open(path) as f:
         raw = f.read()
     if path.endswith((".yaml", ".yml")):
@@ -49,6 +58,63 @@ def load_pipeline(path: str) -> tuple[CrawlConfig, dict[str, str], str]:
         doc = yaml.safe_load(raw)
     else:
         doc = json.loads(raw)
+    if not isinstance(doc, dict):
+        raise PipelineConfigError(f"{path}: config root must be a mapping")
+    return doc
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def apply_env_overrides(doc: dict, environ: dict[str, str] | None = None) -> dict:
+    """DCS__a__b=value sets doc['a']['b'] (the reference's APP_ prefix with
+    '__' separators, configuration.rs:144-152). Values parse as JSON
+    scalars when possible (ints/bools/floats), else stay strings."""
+    environ = os.environ if environ is None else environ
+    out = json.loads(json.dumps(doc))  # deep copy, plain types
+    prefix = ENV_PREFIX + "__"
+    for key in sorted(environ):
+        if not key.startswith(prefix):
+            continue
+        path = key[len(prefix):].split("__")
+        if not all(path):
+            raise PipelineConfigError(f"malformed override variable: {key}")
+        node = out
+        for part in path[:-1]:
+            nxt = node.get(part)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[part] = nxt
+            node = nxt
+        raw = environ[key]
+        try:
+            node[path[-1]] = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            node[path[-1]] = raw
+    return out
+
+
+def load_pipeline(
+    path: str,
+    overlay_path: str | None = None,
+    environ: dict[str, str] | None = None,
+) -> tuple[CrawlConfig, dict[str, str], str]:
+    """-> (CrawlConfig, input paths, workdir). Raises on any invalid shape.
+
+    Layers: base file, then overlay file (if given), then DCS__* env vars —
+    later wins, mirroring base.yaml < {env}.yaml < APP_* in the reference.
+    """
+    doc = _read_doc(path)
+    if overlay_path:
+        doc = _deep_merge(doc, _read_doc(overlay_path))
+    doc = apply_env_overrides(doc, environ)
     return validate_pipeline(doc)
 
 

@@ -4,22 +4,39 @@ Not in the reference (its dedup is exact PK conflict, SURVEY.md S7); these
 are the near-dup operators a web-text training pipeline needs at 100 TB,
 where exact-pair comparison is O(n^2) and infeasible. Design:
 
-- token/shingle hashing uses built-in ``xxhash64(col, seed)`` so the hot
-  path stays inside whole-stage codegen — no Python worker at all;
+- the word base hash is the first 15 hex digits of ``md5(word)`` (a 60-bit
+  int via ``conv``), and MinHash permutations are universal hashes
+  (a*x + b) mod (2^31-1) over it with fixed splitmix64-derived (a, b) —
+  ONE cryptographic hash per word and 32 cheap modular transforms, all
+  whole-stage-codegen, and — unlike xxhash64 — bit-for-bit reproducible in
+  ANSI SQL, so the DuckDB oracle can replay the exact sketch;
 - MinHash: one groupBy computes all P permutations as min-aggregates;
   LSH bands turn signature equality into an equi-join (shuffle on band
   key), so candidate generation scales like a hash join, not a cross join;
-- SimHash: 64 bit-majority aggregates per doc, banded the same way, with
-  ``bit_count(xor)`` Hamming verification.
+- SimHash: 60 bit-majority aggregates per doc (60 bits = the md5 slice,
+  keeping every value positive in a signed 64-bit int on both engines),
+  banded 4 x 15 bits, with ``bit_count(xor)`` Hamming verification.
 
-Both verify candidates exactly (Jaccard / Hamming) — the sketches only
-bound the candidate set, mirroring the engine's Bloom-then-anti-join rule.
+Both verify candidates from the signatures only — the sketches bound the
+candidate set AND the verification cost, mirroring the engine's
+Bloom-then-anti-join rule.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from data_collector_spark.functions.detrand import MINHASH_P, minhash_params
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits each; pigeonhole covers hamming <= 3
+
+
+def word_hash_col(col) -> F.Column:
+    """60-bit integer hash of a string: first 15 hex digits of md5.
+    Reproducible in DuckDB as CAST('0x' || substr(md5(w),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -33,11 +50,26 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 def minhash_signatures(words: DataFrame, n_perm: int = 32, id_col: str = "doc_id") -> DataFrame:
     """One row per doc: h0..h{P-1} minhash signature (P min-aggregates,
-    one shuffle)."""
+    one shuffle, one md5 per word)."""
+    params = minhash_params(n_perm)
+    r = F.pmod(word_hash_col(F.col("word")), F.lit(MINHASH_P))
+    hashed = words.withColumn("_r", r)
     aggs = [
-        F.min(F.xxhash64("word", F.lit(i))).alias(f"h{i}") for i in range(n_perm)
+        F.min((F.lit(a) * F.col("_r") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
-    return words.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def band_key_cols(n_perm: int, bands: int) -> list[F.Column]:
+    """One string key per band: 'h_i,h_j,...' — the same textual encoding
+    the SQL oracle uses (concat_ws matches || on both engines)."""
+    rows_per_band = n_perm // bands
+    out = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + i}" for i in range(rows_per_band)]
+        out.append(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+    return out
 
 
 def lsh_candidate_pairs(
@@ -48,13 +80,10 @@ def lsh_candidate_pairs(
     Band rows are exploded then self-equi-joined on (band, key) — at scale
     this is a shuffle join on the band key, never a cross join.
     """
-    rows_per_band = n_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + i}" for i in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
-        )
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), key.alias("key"))
+        for b, key in enumerate(band_key_cols(n_perm, bands))
+    ]
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -99,7 +128,7 @@ def estimated_jaccard(
     pairs: DataFrame,
     n_perm: int = 32,
     id_col: str = "doc_id",
-    broadcast_sig: bool = True,
+    broadcast_sig: bool | None = None,
 ) -> DataFrame:
     """Signature-based Jaccard estimate: fraction of agreeing minhashes.
 
@@ -107,14 +136,16 @@ def estimated_jaccard(
     where exact word-set intersection (O(pairs x |doc|)) melts down on
     near-dup-heavy corpora (every pair a spam cluster produces is a true
     candidate, so the exact join multiplies millions of pairs by document
-    length)."""
+    length).
+
+    broadcast_sig=None (default) leaves the join strategy to Catalyst/AQE,
+    which broadcasts iff the signature table's measured size is under the
+    auto-broadcast threshold — size-aware instead of caller's-memory-aware.
+    True/False force the hint on/off."""
     arr = F.array(*[f"h{i}" for i in range(n_perm)])
     sa = sig.select(F.col(id_col).alias("a_id"), arr.alias("siga"))
     sb = sig.select(F.col(id_col).alias("b_id"), arr.alias("sigb"))
     if broadcast_sig:
-        # pairs >> docs in near-dup-heavy corpora: keep the pair stream
-        # unshuffled and broadcast the signature table to both probes
-        # (at 10^10 docs pass False — the join shuffles on id instead)
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     agree = F.aggregate(
         F.zip_with("siga", "sigb", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -128,27 +159,28 @@ def estimated_jaccard(
     )
 
 
-def simhash(words_counted: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from (id, word, cnt) rows.
+def simhash(words_counted: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per doc from (id, word, cnt) rows.
 
-    Bit-majority as 64 conditional-sum aggregates over xxhash64(word) —
-    all codegen'd; the per-bit sums recombine into one BIGINT column.
+    Bit-majority as ``bits`` conditional-sum aggregates over the 60-bit
+    md5 word hash — all codegen'd; the per-bit sums recombine into one
+    positive BIGINT column (60 bits never touches the sign bit, so the
+    same arithmetic is valid in DuckDB).
     """
-    h = F.xxhash64("word")
+    h = word_hash_col(F.col("word"))
+    hashed = words_counted.withColumn("_h", h)
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
                 -F.col("cnt")
             )
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    per_bit = words_counted.groupBy(id_col).agg(*aggs)
+    per_bit = hashed.groupBy(id_col).agg(*aggs)
     sim = None
     for i in range(bits):
-        # two's complement: the top bit contributes Long.MIN_VALUE
-        weight = -(1 << 63) if i == bits - 1 and bits == 64 else (1 << i)
-        term = F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("long")).otherwise(
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else (sim + term)
@@ -158,17 +190,19 @@ def simhash(words_counted: DataFrame, id_col: str = "doc_id", bits: int = 64) ->
 def simhash_near_pairs(
     sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= k, banded 4x16 bits.
+    """Near-dup pairs by Hamming distance <= k, banded 4x15 bits.
 
     Pigeonhole: hamming<=3 over 4 bands guarantees one band matches
-    exactly, so candidates come from an equi-join on (band, 16-bit slice).
+    exactly, so candidates come from an equi-join on (band, 15-bit slice).
     """
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
         )
-        for b in range(4)
+        for b in range(SIMHASH_BANDS)
     ]
     banded = sigs.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")

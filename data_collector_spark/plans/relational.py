@@ -717,6 +717,34 @@ def w3_sessionize(spark, sf):
     )
 
 
+@query(
+    "w4_daily_budget",
+    """
+    SELECT event_id, user_id, day, rn FROM (
+      SELECT event_id, user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 4
+    """,
+)
+def w4_daily_budget(spark, sf):
+    """R2: daily budget window — at most N requests per key per day with a
+    reset at the day boundary (/root/reference/src/api_keys/api_key.rs:
+    79-106,160-168: 250/day FMP keys, reset 19:00 UTC). The crawl engine's
+    round-windowed variant is CrawlConfig.daily_budget/rounds_per_day."""
+    ev = _t(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("event_id", "user_id", "day", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # U/S: set ops + idempotent-insert semantics
 # ---------------------------------------------------------------------------

@@ -1,19 +1,33 @@
 """Training-data pipeline operators over documents/embeddings.
 
 Dedup (exact, Jaccard, MinHash+LSH, SimHash), similarity search (brute
-cosine + LSH ANN), text analytics, and multimodal metadata plumbing.
-SQL-expressible ones carry DuckDB oracles; sketch-based ones are
-deterministic but hash-scheme-specific (xxhash64), so they are rows-only
-checked and covered by pytest equivalence tests instead.
+cosine + LSH/IVF ANN), text analytics, and multimodal metadata plumbing.
+
+EVERY operator here carries a DuckDB oracle: the sketches hash with
+md5-derived integers and the ANN paths decide signs/cells in quantized
+integer arithmetic, so the oracle replays the exact same candidate sets
+and scores — the oracle SQL strings are generated below from the same
+splitmix64 constants the Spark plans embed (functions/detrand.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_collector_spark.functions.detrand import (
+    MINHASH_P,
+    minhash_params,
+    plane_signs,
+)
 from data_collector_spark.functions.multimodal import extract_media_meta
-from data_collector_spark.functions.similarity import brute_force_topk, lsh_topk
+from data_collector_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from data_collector_spark.functions.sketches import (
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
     estimated_jaccard,
     exact_jaccard,
     lsh_candidate_pairs,
@@ -87,7 +101,152 @@ def dedup_jaccard_words(spark, sf):
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 scheme not reproducible in SQL
+# ---- generated oracle SQL for the sketch/ANN operators --------------------
+# The constants (minhash (a,b) pairs, LSH plane signs) come from the same
+# detrand splitmix64 stream the Spark plans use, so both engines replay the
+# IDENTICAL sketch — these are full value oracles, not rows-only checks.
+
+_WORD_R = f"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {MINHASH_P}"
+_WORD_G = "CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle(n_perm: int = 32, bands: int = 8, thresh: float = 0.5) -> str:
+    params = minhash_params(n_perm)
+    mins = ",\n               ".join(
+        f"min(({a} * r + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rpb = n_perm // bands
+    band_rows = "\n       UNION ALL\n       ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * rpb + i} AS VARCHAR)" for i in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_perm)
+    )
+    return f"""
+    WITH w AS (SELECT DISTINCT doc_id, w AS word FROM (
+                 SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+                 FROM documents) s WHERE w <> ''),
+         h AS (SELECT doc_id, {_WORD_R} AS r FROM w),
+         sig AS (SELECT doc_id,
+               {mins}
+             FROM h GROUP BY doc_id),
+         banded AS (
+       {band_rows}),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         est AS (SELECT a_id, b_id, ({agree}) / {float(n_perm)} AS je
+                 FROM cand
+                 JOIN sig sa ON sa.doc_id = a_id
+                 JOIN sig sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, round(je, 4) AS jaccard_est FROM est WHERE je >= {thresh}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    bits, bands = SIMHASH_BITS, SIMHASH_BANDS
+    width = bits // bands
+    mask = (1 << width) - 1
+    sums = ",\n              ".join(
+        f"sum(CASE WHEN (g >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    band_rows = "\n       UNION ALL\n       ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH cnt AS (SELECT doc_id, w AS word, count(*) AS cnt FROM (
+                   SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+                   FROM documents) s WHERE w <> '' GROUP BY doc_id, w),
+         h AS (SELECT doc_id, cnt, {_WORD_G} AS g FROM cnt),
+         pb AS (SELECT doc_id,
+              {sums}
+            FROM h GROUP BY doc_id),
+         sig AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM pb),
+         banded AS (
+       {band_rows}),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                         a.simhash AS sa, b.simhash AS sb
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+EMB_DIM = 64  # generator contract: every sf level emits 64-dim embeddings
+
+
+def _lsh_ann_oracle(n_q: int = 5, k: int = 5, n_planes: int = 8) -> str:
+    signs = plane_signs(n_planes, EMB_DIM)
+    terms = []
+    for p, srow in enumerate(signs):
+        lit = "[" + ", ".join(str(s) for s in srow) + "]"
+        dot = f"list_sum(list_transform(list_zip(qv, {lit}), z -> z[1] * z[2]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+                      list_transform(v, x -> CAST(round(1000 * x) AS BIGINT)) AS qv
+               FROM e),
+         b AS (SELECT vec_id, v, {bucket} AS bucket FROM q),
+         qs AS (SELECT vec_id AS q_id, v AS qe, bucket FROM b WHERE vec_id < {n_q}),
+         cs AS (SELECT vec_id AS c_id, v AS ce, bucket FROM b),
+         scored AS (SELECT q_id, c_id, list_cosine_similarity(qe, ce) AS s
+                    FROM qs JOIN cs USING (bucket) WHERE q_id <> c_id)
+    SELECT q_id, c_id, sim FROM (
+      SELECT q_id, c_id, round(s, 4) AS sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+
+
+def _ivf_ann_oracle(n_q: int = 5, k: int = 5, n_cells: int = 16, nprobe: int = 4) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qq AS (SELECT vec_id, v,
+                       list_transform(v, x -> CAST(round(1000 * x) AS BIGINT)) AS qv
+                FROM e),
+         cent AS (SELECT vec_id AS cell,
+                         list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> CAST(round(1000 * x) AS BIGINT)) AS cv
+                  FROM embeddings WHERE vec_id < {n_cells}),
+         dists AS (SELECT qq.vec_id, cent.cell,
+                     list_sum(list_transform(list_zip(qv, cv),
+                                             z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+                   FROM qq CROSS JOIN cent),
+         ranked AS (SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                    FROM dists),
+         cand_cells AS (SELECT vec_id AS c_id, cell FROM ranked WHERE rn = 1),
+         query_cells AS (SELECT vec_id AS q_id, cell FROM ranked
+                         WHERE rn <= {nprobe} AND vec_id < {n_q}),
+         pairs AS (SELECT DISTINCT q_id, c_id
+                   FROM query_cells JOIN cand_cells USING (cell) WHERE q_id <> c_id),
+         sims AS (SELECT q_id, c_id, list_cosine_similarity(a.v, b.v) AS s
+                  FROM pairs JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = c_id)
+    SELECT q_id, c_id, sim FROM (
+      SELECT q_id, c_id, round(s, 4) AS sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+      FROM sims) t
+    WHERE rn <= {k}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf):
     """MinHash(32)+LSH(8 bands) candidates verified by the signature
     Jaccard estimate >= 0.5.
@@ -95,7 +254,8 @@ def dedup_minhash_lsh(spark, sf):
     The scale path for dedup_jaccard_words: candidate generation is an
     equi-join on band keys (never all-pairs), and verification is
     O(pairs x 32) on the signatures — exact word-set verification would
-    multiply every spam-cluster pair by document length."""
+    multiply every spam-cluster pair by document length. The md5-affine
+    hash scheme is replayed verbatim by the DuckDB oracle."""
     d = load_table(spark, sf, "documents")
     words = tokenize(d)
     sig = minhash_signatures(words, n_perm=32).persist()
@@ -106,9 +266,10 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 scheme not reproducible in SQL
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf):
-    """SimHash-64 near-dup pairs, Hamming <= 3, banded candidate join."""
+    """SimHash-60 near-dup pairs, Hamming <= 3, banded candidate join —
+    oracle replays the same 60-bit md5 hash and band split."""
     d = load_table(spark, sf, "documents")
     counted = (
         d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
@@ -117,7 +278,9 @@ def dedup_simhash(spark, sf):
         .agg(F.count("*").alias("cnt"))
     )
     sigs = simhash(counted)
-    return simhash_near_pairs(sigs, max_hamming=3)
+    return simhash_near_pairs(sigs, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @query(
@@ -237,19 +400,20 @@ def ann_cosine_topk(spark, sf):
     return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
-@query("ann_lsh_topk")  # rows-only: hyperplane scheme not expressible in SQL
+@query("ann_lsh_topk", _lsh_ann_oracle())
 def ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN top-5: same-bucket candidates, exact re-rank."""
+    """LSH-bucketed ANN top-5: same-bucket candidates, exact re-rank.
+    Sign decisions are quantized-integer dot products, so the oracle
+    reproduces the exact buckets (dim pinned by the generator contract)."""
     e = load_table(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=dim, k=5, n_planes=8)
+    return lsh_topk(e.filter(F.col("vec_id") < 5), e, dim=EMB_DIM, k=5, n_planes=8)
 
 
-@query("ann_ivf_topk")  # rows-only: quantizer assignment not expressible in SQL
+@query("ann_ivf_topk", _ivf_ann_oracle())
 def ann_ivf_topk(spark, sf):
-    """IVF ANN top-5: inverted-list cells + nprobe probing, exact re-rank."""
-    from data_collector_spark.functions.similarity import ivf_topk
-
+    """IVF ANN top-5: inverted-list cells + nprobe probing, exact re-rank.
+    Cell assignment is quantized-integer L2 against the first n_cells
+    vectors (a filter, not a sort) — reproduced exactly by the oracle."""
     e = load_table(spark, sf, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, nprobe=4)
 

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", help="pipeline YAML/JSON (overrides other args)")
+    ap.add_argument("--config-overlay",
+                    help="overlay YAML/JSON merged over --config "
+                         "(DCS__* env vars layer on top of both)")
     ap.add_argument("--pages", help="pages parquet (input_hint schema)")
     ap.add_argument("--workdir")
     ap.add_argument("--seeds", help="seeds parquet with (url, priority)")
@@ -50,7 +53,7 @@ def main() -> None:
     if args.config:
         from data_collector_spark.crawler.config import load_pipeline
 
-        cfg, inputs, workdir = load_pipeline(args.config)
+        cfg, inputs, workdir = load_pipeline(args.config, overlay_path=args.config_overlay)
         pages = spark.read.parquet(inputs["pages"])
         if "url_canon" not in pages.columns:
             pages = with_canonical_url(pages).drop("url_sha1", "host")

@@ -43,6 +43,43 @@ def test_valid_roundtrip_json_and_yaml(tmp_path):
     assert cfg2 == cfg
 
 
+def test_layered_overrides_precedence(tmp_path):
+    """base < overlay file < DCS__* env vars — mirrors base.yaml <
+    {env}.yaml < APP_* in configuration.rs:125-157."""
+    doc = make_doc(tmp_path)
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps(doc))
+    overlay = tmp_path / "prod.json"
+    overlay.write_text(json.dumps({"crawl": {"max_rounds": 7, "retry_max": 2}}))
+
+    # overlay alone: deep-merged, untouched keys survive
+    cfg, _, _ = load_pipeline(str(base), overlay_path=str(overlay))
+    assert cfg.max_rounds == 7 and cfg.retry_max == 2 and cfg.default_budget == 2
+
+    # env beats overlay; scalars parse as JSON, strings stay strings
+    cfg2, _, wd2 = load_pipeline(
+        str(base),
+        overlay_path=str(overlay),
+        environ={
+            "DCS__crawl__max_rounds": "9",
+            "DCS__crawl__use_bloom": "false",
+            "DCS__workdir": str(tmp_path / "wd_env"),
+            "UNRELATED": "ignored",
+        },
+    )
+    assert cfg2.max_rounds == 9 and cfg2.use_bloom is False
+    assert cfg2.retry_max == 2  # overlay value survives under env layer
+    assert wd2.endswith("wd_env")
+
+
+def test_env_override_unknown_key_fails_fast(tmp_path):
+    doc = make_doc(tmp_path)
+    base = tmp_path / "b.json"
+    base.write_text(json.dumps(doc))
+    with pytest.raises(PipelineConfigError, match="unknown crawl keys"):
+        load_pipeline(str(base), environ={"DCS__crawl__nope": "1"})
+
+
 @pytest.mark.parametrize(
     "mutate,msg",
     [

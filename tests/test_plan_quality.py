@@ -78,7 +78,15 @@ def test_wave_pop_no_python_udf(spark):
 def test_minhash_stays_jvm_side(spark, sf_dir):
     p = plan_of(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
     assert "PythonUDF" not in p and "ArrowEvalPython" not in p
-    assert "xxhash64" in p.lower() or "WholeStageCodegen" in p
+    assert "md5" in p.lower() or "WholeStageCodegen" in p
+
+
+def test_ann_paths_stay_jvm_side(spark, sf_dir):
+    """LSH bucketing and IVF cell assignment are codegen expressions now —
+    no Python workers anywhere in the ANN plans."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        assert "PythonUDF" not in p and "ArrowEvalPython" not in p, name
 
 
 def test_deferred_derived_without_join(spark):
