@@ -73,6 +73,19 @@ def _n(metrics: dict, key: str) -> int:
     return int(v) if v is not None else 0
 
 
+def _obs_metrics(obs: Observation) -> dict:
+    """Observation metrics, tolerating empty executions.
+
+    A branch whose scan had zero input files (an empty committed round)
+    runs ZERO tasks, so its CollectMetrics accumulator never registers and
+    Observation.get raises (PythonSQLUtils.toPyRow assertion on the empty
+    row) instead of returning counts — zero tasks means zero rows."""
+    try:
+        return obs.get
+    except Exception:  # noqa: BLE001 — py4j surfaces a JVM assertion
+        return {}
+
+
 def _retry_not_before(round_n: int, kind: str, base: int, step: int):
     """Next eligible round per D6 backoff family
     (/root/reference/src/dag_schedule/task.rs:263-329: Constant / Linear /
@@ -245,7 +258,7 @@ def run_round(
         F.sum(F.size("links")).alias("links"),
     )
     state.write_round("pages_out", round_n, extracted)
-    pm = obs_pages.get
+    pm = _obs_metrics(obs_pages)
     m.fetched = _n(pm, "n")
     m.links_extracted = _n(pm, "links")
     fetched = state.read_round(spark, "pages_out", round_n, PAGES_OUT_SCHEMA)
@@ -277,7 +290,7 @@ def run_round(
         F.count(F.when(F.col("status") == "robots", 1)).alias("robots"),
     )
     state.write_round("fetch_log", round_n, log)
-    lm = obs_log.get
+    lm = _obs_metrics(obs_log)
     m.dead = _n(lm, "dead")
     m.robots_blocked = _n(lm, "robots")
     # D6: re-enqueue dead URLs, next-eligible round per backoff family
@@ -327,8 +340,11 @@ def run_round(
         .persist()
     )
     seen_all = state.read_all(spark, "seen")
+    cand_count_obs: list = []
     new_entries = dedup_against_seen(
-        spark, cand_unique, seen_all.select("url_sha1") if seen_all is not None else None, bloom
+        spark, cand_unique,
+        seen_all.select("url_sha1") if seen_all is not None else None,
+        bloom, input_count_obs=cand_count_obs,
     ).persist()
 
     obs_def = Observation()
@@ -353,13 +369,13 @@ def run_round(
     )
     mark("seen_write")
 
-    m.enqueued = _n(obs_seen.get, "n")
-    m.deferred_by_politeness = _n(obs_def.get, "n")
-    m.held_by_backoff = _n(obs_held.get, "n")
-    m.retried = _n(obs_retry.get, "n") if retries is not None else 0
-    # one cached-scan job: candidate cardinality for the dedup counter
-    # (everything else rode the write actions as observations)
-    uniq = cand_unique.count()
+    m.enqueued = _n(_obs_metrics(obs_seen), "n")
+    m.deferred_by_politeness = _n(_obs_metrics(obs_def), "n")
+    m.held_by_backoff = _n(_obs_metrics(obs_held), "n")
+    m.retried = _n(_obs_metrics(obs_retry), "n") if retries is not None else 0
+    # candidate cardinality rode the dedup branches as observations too —
+    # zero dedicated counter jobs per round
+    uniq = sum(_n(_obs_metrics(o), "n") for o in cand_count_obs)
     m.deduped = uniq - m.enqueued
     mark("counters")
 

@@ -15,10 +15,18 @@ the anti-join input shrinks by ~99% for genuinely-new-heavy rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_collector_spark.operators.bloom import ShardedBloom
+
+
+def _observed(df: DataFrame, obs_sink: list[Observation] | None) -> DataFrame:
+    if obs_sink is None:
+        return df
+    obs = Observation()
+    obs_sink.append(obs)
+    return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
 
 def dedup_against_seen(
@@ -27,18 +35,31 @@ def dedup_against_seen(
     seen: DataFrame | None,
     bloom: ShardedBloom | None = None,
     key: str = "url_sha1",
+    input_count_obs: list[Observation] | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is not in ``seen``.
 
     ``candidates`` must already be unique on key (dropDuplicates upstream).
     ``seen`` None/empty => everything is new.
+
+    ``input_count_obs``: pass an empty list to receive Observations whose
+    'n' values sum to |candidates| — counted on the branches this operator
+    evaluates anyway, so the caller's dedup counter costs zero extra jobs
+    (each branch is scanned exactly once per action, so the observations
+    fire exactly once).
     """
     if seen is None:
-        return candidates
+        return _observed(candidates, input_count_obs)
     if bloom is not None and bloom.bitmaps:
         flagged = bloom.with_maybe_seen(spark, candidates, key)
-        definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        definitely_new = _observed(
+            flagged.filter(~F.col("maybe_seen")).drop("maybe_seen"), input_count_obs
+        )
+        suspects = _observed(
+            flagged.filter(F.col("maybe_seen")).drop("maybe_seen"), input_count_obs
+        )
         survivors = suspects.join(seen.select(key), key, "left_anti")
         return definitely_new.unionByName(survivors)
-    return candidates.join(seen.select(key), key, "left_anti")
+    return _observed(candidates, input_count_obs).join(
+        seen.select(key), key, "left_anti"
+    )

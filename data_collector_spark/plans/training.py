@@ -259,8 +259,15 @@ def dedup_minhash_lsh(spark, sf):
     d = load_table(spark, sf, "documents")
     words = tokenize(d)
     sig = minhash_signatures(words, n_perm=32).persist()
+    # size-aware broadcast: the signature table is persisted (band join +
+    # verify both read it), so this count is the cache materialization we
+    # pay anyway; under ~500k docs (~150 MB of signatures) broadcasting
+    # both probe sides beats shuffling the (much larger) pair stream —
+    # measured 2.8 s vs 4.5-5.1 s under AQE at sf0.1. Above the threshold
+    # (e.g. 10^10 docs) the join shuffles on id instead.
+    n_sig = sig.count()
     cand = lsh_candidate_pairs(sig, n_perm=32, bands=8)
-    j = estimated_jaccard(sig, cand, n_perm=32)
+    j = estimated_jaccard(sig, cand, n_perm=32, broadcast_sig=n_sig <= 500_000)
     return j.filter(F.col("jaccard_est") >= 0.5).select(
         "a_id", "b_id", F.round("jaccard_est", 4).alias("jaccard_est")
     )
