@@ -26,8 +26,11 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from data_collector_spark.crawler.round import run_round
 from data_collector_spark.crawler.state import CrawlState, RoundMetrics
+from data_collector_spark.crawler.telemetry import EventLog
 from data_collector_spark.functions.urls import with_canonical_url
 from data_collector_spark.operators.bloom import ShardedBloom
 from data_collector_spark.operators.politeness import compile_budgets
@@ -158,42 +161,55 @@ def run_crawl(
     metrics: list[RoundMetrics] = []
     start = state.last_committed_round() + 1  # type: ignore[operator]
     frontier_rows = state.read_round(spark, "frontier", start).count()
+    # structured span trace next to the checkpoint (telemetry.rs analog)
+    events = EventLog(os.path.join(workdir, "events.jsonl"))
+    events.emit(
+        "crawl_resume" if start > 0 else "crawl_start", workdir,
+        start_round=start, max_rounds=cfg.max_rounds,
+        frontier_rows=frontier_rows, dedup_captures=dedup_captures,
+    )
     for n in range(start, cfg.max_rounds):
         # recrawl mode keeps ticking: an empty frontier refills once the
         # TTL elapses; otherwise an empty frontier means the crawl drained
         if cfg.recrawl_ttl_rounds == 0 and frontier_rows == 0:
             break
-        m = run_round(
-            spark, state, pages, robots_rules, budget_spec, bloom, n,
-            skew_salt=cfg.skew_salt,
-            retry_max=cfg.retry_max,
-            retry_backoff=cfg.retry_backoff,
-            retry_backoff_base=cfg.retry_backoff_base,
-            retry_backoff_step=cfg.retry_backoff_step,
-            daily_budget=cfg.daily_budget,
-            rounds_per_day=cfg.rounds_per_day,
-            est_wave_rows=frontier_rows,
-            wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
-            pages_partitions=pages_partitions,
-            dedup_captures=dedup_captures,
-        )
-        if cfg.recrawl_ttl_rounds > 0:
-            from data_collector_spark.operators.recrawl import stale_recrawl_candidates
-
-            log_all = state.read_all(spark, "fetch_log")
-            fnext = state.read_round(spark, "frontier", n + 1)
-            stale = stale_recrawl_candidates(
-                log_all, fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority
+        with events.span("round", f"round={n}", round=n):
+            m = run_round(
+                spark, state, pages, robots_rules, budget_spec, bloom, n,
+                skew_salt=cfg.skew_salt,
+                retry_max=cfg.retry_max,
+                retry_backoff=cfg.retry_backoff,
+                retry_backoff_base=cfg.retry_backoff_base,
+                retry_backoff_step=cfg.retry_backoff_step,
+                daily_budget=cfg.daily_budget,
+                rounds_per_day=cfg.rounds_per_day,
+                est_wave_rows=frontier_rows,
+                wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
+                pages_partitions=pages_partitions,
+                dedup_captures=dedup_captures,
             )
-            # materialize to a side table FIRST: appending into a directory
-            # another plan is lazily reading is a read-your-own-writes
-            # hazard (Spark snapshots file listings at analysis time)
-            state.write_round("recrawl", n + 1, stale)
-            stale_mat = state.read_round(spark, "recrawl", n + 1)
-            m.recrawled = stale_mat.count()
-            if m.recrawled:
-                state.append_round("frontier", n + 1, stale_mat)
-        state.commit(n, m)
+            if cfg.recrawl_ttl_rounds > 0:
+                from data_collector_spark.operators.recrawl import (
+                    stale_recrawl_candidates,
+                )
+
+                log_all = state.read_all(spark, "fetch_log")
+                fnext = state.read_round(spark, "frontier", n + 1)
+                stale = stale_recrawl_candidates(
+                    log_all, fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority
+                )
+                # materialize to a side table FIRST: appending into a
+                # directory another plan is lazily reading is a
+                # read-your-own-writes hazard (Spark snapshots file
+                # listings at analysis time)
+                state.write_round("recrawl", n + 1, stale)
+                stale_mat = state.read_round(spark, "recrawl", n + 1)
+                m.recrawled = stale_mat.count()
+                if m.recrawled:
+                    state.append_round("frontier", n + 1, stale_mat)
+            state.commit(n, m)
+        events.emit("round_metrics", f"round={n}", **m.as_dict())
         metrics.append(m)
         frontier_rows = _frontier_rows_estimate(m)
+    events.emit("crawl_end", workdir, rounds_run=len(metrics))
     return metrics

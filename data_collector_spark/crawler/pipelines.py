@@ -19,6 +19,7 @@ it belongs to the runtime.
 from __future__ import annotations
 
 import threading
+import time
 from collections.abc import Callable
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
@@ -89,13 +90,21 @@ class TaskGraph:
 
     # ---- D5 Kahn execution with concurrent ready set ----------------------
     def run(
-        self, spark: SparkSession, max_workers: int = 4, fail_fast: bool = False
+        self,
+        spark: SparkSession,
+        max_workers: int = 4,
+        fail_fast: bool = False,
+        events=None,
     ) -> dict[str, TaskResult]:
         """Execute all tasks; independent ready tasks run concurrently.
 
         A failed task marks its transitive dependents skipped (the
         reference aborts the run on task failure; here independent
         branches still finish unless fail_fast).
+
+        ``events``: optional telemetry.EventLog — each task runs in a
+        task_start/task_end/task_failed span (the reference's instrumented
+        task execution, utils/telemetry.rs).
         """
         self.validate()
         by_name = {t.name: t for t in self.tasks}
@@ -111,12 +120,21 @@ class TaskGraph:
             # per-task scheduler pool: concurrent crawls share executors
             # fairly instead of queuing whole job chains FIFO
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", task.name)
+            if events is not None:
+                events.emit("task_start", task.name, deps=list(task.deps))
+            t0 = time.monotonic()
             try:
-                return TaskResult(task.name, ok=True, value=task.fn(spark))
+                res = TaskResult(task.name, ok=True, value=task.fn(spark))
             except Exception as e:  # noqa: BLE001 — recorded, re-raised at end
-                return TaskResult(task.name, ok=False, error=f"{type(e).__name__}: {e}")
+                res = TaskResult(task.name, ok=False, error=f"{type(e).__name__}: {e}")
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            if events is not None:
+                events.emit(
+                    "task_end" if res.ok else "task_failed", task.name,
+                    duration_sec=round(time.monotonic() - t0, 3), error=res.error,
+                )
+            return res
 
         def mark_skipped(name: str) -> None:
             for dep in out[name]:

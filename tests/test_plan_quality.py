@@ -128,3 +128,26 @@ def test_fetch_join_broadcasts_wave(spark, sf_dir):
     wave = spark.createDataFrame([("http://a.test/1",)], "url_canon string")
     j = pages.join(F.broadcast(wave), "url_canon", "inner")
     assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_fetch_scan_prunes_corpus_columns(spark, tmp_path):
+    """The 100 TB corpus scan must read ONLY (url_canon, warc_ts, html) —
+    a scan dragging text/lang through a wave join is wrong at any scale.
+    The join key filter must also reach the parquet reader."""
+    from data_collector_spark.sources.generator import synth_pages
+
+    d = str(tmp_path / "prune_corpus")
+    synth_pages(spark, 200, n_hosts=4, partitions=2).write.parquet(d)
+    pages = spark.read.parquet(d)
+    wave = spark.createDataFrame(
+        [("http://h1.test/p/1", "a" * 40, "h1.test", 0, 1)],
+        "url_canon string, url_sha1 string, host string, depth int, seq_in_host int",
+    )
+    hits = pages.select("url_canon", "warc_ts", "html").join(
+        F.broadcast(wave), "url_canon", "inner"
+    )
+    p = plan_of(hits)
+    read_schema = p.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "html" in read_schema and "warc_ts" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+    assert "PushedFilters" in p and "IsNotNull(url_canon)" in p
