@@ -22,6 +22,18 @@ _HEAD = [
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # the training-data operator suite next: if the driver's budget cuts a
+    # tail, it should land on relational rows that also carry engine-side
+    # pytest coverage (politeness/crawler suites), not on these
+    "dedup_exact",
+    "dedup_jaccard_words",
+    "dedup_embedding_cosine",
+    "dedup_ngram3_jaccard",
+    "ann_cosine_topk",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_counts",
+    "training_filter_pipeline",
 ]
 _TAIL = ["pivot_event_type_counts", "cube_status_priority"]
 

@@ -558,6 +558,65 @@ def embedding_norm_stats(spark, sf):
 
 
 @query(
+    "training_filter_pipeline",
+    r"""
+    WITH kept_ids AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             round(0.5 * least(1.0, (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) / 50.0)
+                   + 0.5 * least(1.0, 4.0 * CASE WHEN trim(text) <> ''
+                        THEN len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) * 1.0
+                             / len(string_split_regex(trim(text), '\s+'))
+                        ELSE 0.0 END), 4) AS quality,
+             CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+      FROM (SELECT doc_id, text,
+                   len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+                   len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS de,
+                   len(regexp_extract_all(text, '\b(le|et|la|les)\b')) AS fr
+            FROM documents) s
+    )
+    SELECT f.doc_id, f.lang_pred, f.quality, CAST(f.n_tok AS BIGINT) AS n_tok
+    FROM feats f JOIN kept_ids k ON k.doc_id = f.doc_id
+    WHERE f.lang_pred = 'en' AND f.quality >= 0.5 AND f.n_tok BETWEEN 5 AND 100000
+    """,
+)
+def training_filter_pipeline(spark, sf):
+    """The composed end-product: exact-dedup survivors filtered to
+    predicted-English, quality >= 0.5, sane token counts — the selection a
+    web-text training pipeline actually ships. One declarative plan: the
+    dedup groupBy and the feature expressions fuse under codegen; the
+    survivor join broadcasts (one id per duplicate group)."""
+    d = load_table(spark, sf, "documents")
+    kept = (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    feats = d.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).alias("n_tok"),
+    )
+    return (
+        feats.join(kept, "doc_id")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tok").between(5, 100000)
+        )
+        .select("doc_id", "lang_pred", "quality", "n_tok")
+    )
+
+
+@query(
     "st_tumbling_window",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
