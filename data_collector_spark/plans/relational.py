@@ -745,6 +745,68 @@ def w4_daily_budget(spark, sf):
     )
 
 
+@query(
+    "j10_asof_join",
+    """
+    WITH snaps0 AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_id % 10 = 0
+    ),
+    snaps AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM snaps0) t
+      WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, s.ts AS snap_ts, s.value AS snap_value
+    FROM events e
+    ASOF LEFT JOIN snaps s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def j10_asof_join(spark, sf):
+    """J10: as-of join — for each event, the latest snapshot row (a
+    deterministic event subsample) at-or-before its timestamp, per key.
+
+    The reference has no as-of join (noted n/a in SURVEY §2.4); this is
+    the composition pattern Spark lacks natively: union both sides tagged,
+    ONE per-key ordered window carrying the snapshot forward with
+    last_value(ignoreNulls) — a single shuffle on the join key, no range
+    explosion, skew handled like any window (cf. the politeness salt).
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = _t(spark, sf, "events")
+    snaps = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("snap_value"))
+    )
+    # tag 0 sorts snapshots before events at equal ts (ASOF >= includes ties)
+    tagged = snaps.select(
+        "user_id", "ts", F.lit(0).alias("_tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("_snap_ts"), F.col("snap_value").alias("_snap_value"),
+    ).unionByName(
+        ev.select(
+            "user_id", "ts", F.lit(1).alias("_tag"), "event_id",
+            F.lit(None).cast("timestamp").alias("_snap_ts"),
+            F.lit(None).cast(ev.schema["value"].dataType).alias("_snap_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "*",
+        F.last("_snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+        F.last("_snap_value", ignorenulls=True).over(w).alias("snap_value"),
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        "event_id", "user_id", "snap_ts", "snap_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # U/S: set ops + idempotent-insert semantics
 # ---------------------------------------------------------------------------
