@@ -807,6 +807,54 @@ def j10_asof_join(spark, sf):
     )
 
 
+@query(
+    "j11_range_join",
+    """
+    SELECT a.event_id AS a_id, b.event_id AS b_id, b.event_type AS b_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'signup'
+    """,
+)
+def j11_range_join(spark, sf):
+    """Range join (events within 1 h after each signup, per user) — the
+    bucketed form: both sides get an hour-bucket key, candidates come from
+    equi-joins on (user, bucket) and (user, bucket+1) — every true pair's
+    buckets differ by at most one — then the exact interval filter runs on
+    the bounded candidate set. At 10^10 rows this is two hash joins
+    instead of an inequality join's cross-product-per-key; the same
+    bucket-then-verify rule as the LSH sketches. Oracle: DuckDB's native
+    inequality join.
+    """
+    ev = _t(spark, sf, "events")
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast("long")
+    a = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("a_id"), F.col("user_id").alias("u"),
+            F.col("ts").alias("ta"), bucket.alias("ba"),
+        )
+        .select(
+            "a_id", "u", "ta",
+            F.explode(F.array(F.col("ba"), F.col("ba") + 1)).alias("bk"),
+        )
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"), F.col("event_type").alias("b_type"),
+        F.col("user_id").alias("u"), F.col("ts").alias("tb"), bucket.alias("bk"),
+    )
+    cand = a.join(b, ["u", "bk"])
+    return (
+        cand.filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("a_id", "b_id", "b_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # U/S: set ops + idempotent-insert semantics
 # ---------------------------------------------------------------------------
