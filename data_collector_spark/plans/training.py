@@ -617,6 +617,32 @@ def training_filter_pipeline(spark, sf):
 
 
 @query(
+    "training_split",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def training_split(spark, sf):
+    """Deterministic 90/10 train/val split by id hash — membership is a
+    pure function of the key (stable under reshuffles, appends, and
+    re-partitioning; never sample()-based, which is partition-dependent).
+    Same md5 bucket arithmetic as the sketches, so the oracle replays it
+    exactly."""
+    d = load_table(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        F.when(h % 100 < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@query(
     "st_tumbling_window",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
