@@ -89,9 +89,15 @@ def apply_env_overrides(doc: dict, environ: dict[str, str] | None = None) -> dic
         node = out
         for part in path[:-1]:
             nxt = node.get(part)
-            if not isinstance(nxt, dict):
+            if nxt is None:
                 nxt = {}
                 node[part] = nxt
+            elif not isinstance(nxt, dict):
+                # DCS__workdir__x would silently turn the workdir string
+                # into a dict — fail fast instead
+                raise PipelineConfigError(
+                    f"{key}: cannot descend into non-mapping config node {part!r}"
+                )
             node = nxt
         raw = environ[key]
         try:
@@ -129,6 +135,26 @@ def validate_pipeline(doc: dict) -> tuple[CrawlConfig, dict[str, str], str]:
     bad = set(crawl) - _CRAWL_KEYS
     if bad:
         raise PipelineConfigError(f"unknown crawl keys: {sorted(bad)} (valid: {sorted(_CRAWL_KEYS)})")
+    # field-type validation against the dataclass defaults: an env override
+    # like DCS__crawl__use_bloom=False (Python spelling, not JSON 'false')
+    # would otherwise arrive as the truthy string 'False' and silently
+    # leave bloom ON — the opposite of the operator's intent
+    _defaults = CrawlConfig()
+    for k, v in crawl.items():
+        dv = getattr(_defaults, k)
+        if dv is None:  # bool | None fields
+            ok = v is None or isinstance(v, bool)
+        elif isinstance(dv, bool):
+            ok = isinstance(v, bool)
+        elif isinstance(dv, int):
+            ok = isinstance(v, int) and not isinstance(v, bool)
+        else:
+            ok = isinstance(v, type(dv))
+        if not ok:
+            raise PipelineConfigError(
+                f"crawl.{k}: expected {type(dv).__name__ if dv is not None else 'bool/null'},"
+                f" got {type(v).__name__} ({v!r})"
+            )
     cfg = CrawlConfig(**crawl)
     if cfg.max_rounds < 1:
         raise PipelineConfigError("crawl.max_rounds must be >= 1")
@@ -147,7 +173,11 @@ def validate_pipeline(doc: dict) -> tuple[CrawlConfig, dict[str, str], str]:
         if not os.path.exists(inputs[req]):
             raise PipelineConfigError(f"inputs.{req} path does not exist: {inputs[req]}")
 
+    for k, v in inputs.items():
+        if not isinstance(v, str):
+            raise PipelineConfigError(f"inputs.{k} must be a path string, got {type(v).__name__}")
+
     workdir = doc.get("workdir")
-    if not workdir:
-        raise PipelineConfigError("workdir is required")
+    if not workdir or not isinstance(workdir, str):
+        raise PipelineConfigError("workdir is required and must be a string")
     return cfg, inputs, workdir

@@ -160,7 +160,18 @@ def run_crawl(
 
     metrics: list[RoundMetrics] = []
     start = state.last_committed_round() + 1  # type: ignore[operator]
-    frontier_rows = state.read_round(spark, "frontier", start).count()
+    first = state.read_round(spark, "frontier", start).agg(
+        F.count("*").alias("n"), F.countDistinct("host").alias("hosts")
+    ).collect()[0]
+    frontier_rows, frontier_hosts = int(first["n"]), int(first["hosts"])
+
+    def wave_bound() -> int:
+        """Upper bound on the next wave: it can never exceed the frontier,
+        nor hosts x the largest per-round budget — so a huge DEFERRED
+        backlog (bounded-budget hosts) doesn't flip the broadcast gate off
+        and shuffle the pages corpus. 1.25x covers approx_count_distinct
+        error on the per-round host figure."""
+        return min(frontier_rows, int(1.25 * frontier_hosts * budget_spec.bmax) + 1)
     # structured span trace next to the checkpoint (telemetry.rs analog)
     events = EventLog(os.path.join(workdir, "events.jsonl"))
     events.emit(
@@ -183,7 +194,7 @@ def run_crawl(
                 retry_backoff_step=cfg.retry_backoff_step,
                 daily_budget=cfg.daily_budget,
                 rounds_per_day=cfg.rounds_per_day,
-                est_wave_rows=frontier_rows,
+                est_wave_rows=wave_bound(),
                 wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
                 pages_partitions=pages_partitions,
                 dedup_captures=dedup_captures,
@@ -211,5 +222,6 @@ def run_crawl(
         events.emit("round_metrics", f"round={n}", **m.as_dict())
         metrics.append(m)
         frontier_rows = _frontier_rows_estimate(m)
+        frontier_hosts = max(m.frontier_hosts_next, 1 if frontier_rows else 0)
     events.emit("crawl_end", workdir, rounds_run=len(metrics))
     return metrics

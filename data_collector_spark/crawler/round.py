@@ -79,11 +79,17 @@ def _obs_metrics(obs: Observation) -> dict:
     A branch whose scan had zero input files (an empty committed round)
     runs ZERO tasks, so its CollectMetrics accumulator never registers and
     Observation.get raises (PythonSQLUtils.toPyRow assertion on the empty
-    row) instead of returning counts — zero tasks means zero rows."""
+    row) instead of returning counts — zero tasks means zero rows. ONLY
+    that known signature is mapped to {}; any other failure re-raises —
+    swallowing it would zero every counter and make the driver read the
+    accounting identity as an empty frontier, silently ending the crawl."""
     try:
         return obs.get
-    except Exception:  # noqa: BLE001 — py4j surfaces a JVM assertion
-        return {}
+    except Exception as e:  # noqa: BLE001 — py4j surfaces the JVM assertion
+        msg = str(e)
+        if "toPyRow" in msg or "assertion failed" in msg:
+            return {}
+        raise
 
 
 def _retry_not_before(round_n: int, kind: str, base: int, step: int):
@@ -356,6 +362,14 @@ def run_round(
     )
     if retries is not None:
         frontier_next = frontier_next.unionByName(retries.select(*FRONTIER_COLS))
+    # host cardinality of the next frontier rides the same write: the
+    # driver derives the next round's wave bound as hosts x bmax, so the
+    # broadcast gate tracks the BUDGETED wave, not the (possibly huge)
+    # deferred backlog
+    obs_frontier = Observation()
+    frontier_next = frontier_next.observe(
+        obs_frontier, F.approx_count_distinct("host").alias("hosts")
+    )
     state.write_round("frontier", round_n + 1, frontier_next)
     mark("frontier_write")
 
@@ -373,6 +387,7 @@ def run_round(
     m.deferred_by_politeness = _n(_obs_metrics(obs_def), "n")
     m.held_by_backoff = _n(_obs_metrics(obs_held), "n")
     m.retried = _n(_obs_metrics(obs_retry), "n") if retries is not None else 0
+    m.frontier_hosts_next = _n(_obs_metrics(obs_frontier), "hosts")
     # candidate cardinality rode the dedup branches as observations too —
     # zero dedicated counter jobs per round
     uniq = sum(_n(_obs_metrics(o), "n") for o in cand_count_obs)

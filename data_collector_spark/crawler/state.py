@@ -47,6 +47,9 @@ class RoundMetrics:
     held_by_backoff: int = 0
     retried: int = 0
     recrawled: int = 0        # stale URLs re-enqueued by the TTL warden
+    frontier_hosts_next: int = 0  # approx distinct hosts in frontier N+1
+    #                               (wave-bound input for the broadcast gate;
+    #                                informational, not part of the identity)
     links_extracted: int = 0
     deduped: int = 0          # dropped as already-seen (incl. within-round dups)
     enqueued: int = 0         # new frontier entries

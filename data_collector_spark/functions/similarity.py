@@ -50,7 +50,13 @@ def cosine_col(a, b):
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    # rank by the ROUNDED similarity (c_id tiebreak): the oracle computes
+    # the cosine with a different FP expression tree, so ranking raw
+    # doubles would let sub-ulp differences swap near-tie candidates
+    # between engines (CLAUDE.md float discipline: round on BOTH sides)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("c_id")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

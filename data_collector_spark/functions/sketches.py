@@ -167,6 +167,17 @@ def simhash(words_counted: DataFrame, id_col: str = "doc_id", bits: int = SIMHAS
     positive BIGINT column (60 bits never touches the sign bit, so the
     same arithmetic is valid in DuckDB).
     """
+    if bits > 62:
+        # 1 << 63 overflows a signed long on BOTH engines (the old 64-bit
+        # variant special-cased the sign bit; this scheme stays positive)
+        raise ValueError(f"simhash supports at most 62 bits, got {bits}")
+    if bits != SIMHASH_BITS:
+        # simhash_near_pairs bands assume the module-wide width; signatures
+        # built differently would be silently mis-banded downstream
+        raise ValueError(
+            f"bits={bits} differs from SIMHASH_BITS={SIMHASH_BITS}; "
+            "change the module constant so banding stays consistent"
+        )
     h = word_hash_col(F.col("word"))
     hashed = words_counted.withColumn("_h", h)
     aggs = [

@@ -208,7 +208,7 @@ def _lsh_ann_oracle(n_q: int = 5, k: int = 5, n_planes: int = 8) -> str:
                     FROM qs JOIN cs USING (bucket) WHERE q_id <> c_id)
     SELECT q_id, c_id, sim FROM (
       SELECT q_id, c_id, round(s, 4) AS sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+             row_number() OVER (PARTITION BY q_id ORDER BY round(s, 4) DESC, c_id) AS rn
       FROM scored) t
     WHERE rn <= {k}
     """
@@ -240,7 +240,7 @@ def _ivf_ann_oracle(n_q: int = 5, k: int = 5, n_cells: int = 16, nprobe: int = 4
                   FROM pairs JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = c_id)
     SELECT q_id, c_id, sim FROM (
       SELECT q_id, c_id, round(s, 4) AS sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+             row_number() OVER (PARTITION BY q_id ORDER BY round(s, 4) DESC, c_id) AS rn
       FROM sims) t
     WHERE rn <= {k}
     """
@@ -395,7 +395,8 @@ def dedup_ngram3_jaccard(spark, sf):
     SELECT q_id, c_id, sim FROM (
       SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 4) AS sim,
              row_number() OVER (PARTITION BY q_id
-                                ORDER BY list_cosine_similarity(qe, ce) DESC, c_id) AS rn
+                                ORDER BY round(list_cosine_similarity(qe, ce), 4) DESC,
+                                         c_id) AS rn
       FROM q CROSS JOIN c WHERE q_id <> c_id) t
     WHERE rn <= 5
     """,
@@ -632,10 +633,10 @@ def training_split(spark, sf):
     re-partitioning; never sample()-based, which is partition-dependent).
     Same md5 bucket arithmetic as the sketches, so the oracle replays it
     exactly."""
+    from data_collector_spark.functions.sketches import word_hash_col
+
     d = load_table(spark, sf, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = word_hash_col(F.col("doc_id").cast("string"))
     return d.select(
         "doc_id",
         F.when(h % 100 < 90, "train").otherwise("val").alias("split"),

@@ -56,21 +56,24 @@ def streaming_host_budget(stream: DataFrame, budget: int) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         spent = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url_sha1").reset_index(drop=True)
-            n = len(pdf)
-            admit_n = max(0, min(n, budget - spent))
-            admitted = [i < admit_n for i in range(n)]
-            spent += admit_n
-            yield pd.DataFrame(
-                {
-                    "host": [host] * n,
-                    "url_sha1": pdf["url_sha1"],
-                    "admitted": admitted,
-                    "spent_after": [spent] * n,
-                }
-            )
+        # a >maxRecordsPerBatch host group arrives as MULTIPLE Arrow
+        # chunks; ranking must be global per (host, micro-batch), not
+        # per-chunk, or chunk boundaries would decide admission
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("url_sha1").reset_index(drop=True)
+        n = len(pdf)
+        admit_n = max(0, min(n, budget - spent))
+        admitted = [i < admit_n for i in range(n)]
+        spent += admit_n
         state.update((spent,))
+        yield pd.DataFrame(
+            {
+                "host": [host] * n,
+                "url_sha1": pdf["url_sha1"],
+                "admitted": admitted,
+                "spent_after": [spent] * n,
+            }
+        )
 
     return stream.groupBy("host").applyInPandasWithState(
         admit,

@@ -80,6 +80,24 @@ def test_env_override_unknown_key_fails_fast(tmp_path):
         load_pipeline(str(base), environ={"DCS__crawl__nope": "1"})
 
 
+def test_env_override_type_and_shape_violations_fail_fast(tmp_path):
+    doc = make_doc(tmp_path)
+    base = tmp_path / "b2.json"
+    base.write_text(json.dumps(doc))
+    # descending through a scalar node (workdir is a string)
+    with pytest.raises(PipelineConfigError, match="non-mapping"):
+        load_pipeline(str(base), environ={"DCS__workdir__x": "1"})
+    # Python-spelled booleans stay strings — must be rejected, not truthy
+    with pytest.raises(PipelineConfigError, match="crawl.use_bloom"):
+        load_pipeline(str(base), environ={"DCS__crawl__use_bloom": "False"})
+    # int field given a string
+    with pytest.raises(PipelineConfigError, match="crawl.max_rounds"):
+        load_pipeline(str(base), environ={"DCS__crawl__max_rounds": "lots"})
+    # workdir replaced by a non-string
+    with pytest.raises(PipelineConfigError, match="workdir"):
+        load_pipeline(str(base), environ={"DCS__workdir": "123"})
+
+
 @pytest.mark.parametrize(
     "mutate,msg",
     [
