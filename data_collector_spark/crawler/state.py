@@ -13,7 +13,11 @@ decision record /root/reference/documentation/decisions/
 In production these tables are Iceberg (`writeTo(...).append()` gives the
 same snapshot-isolation + time-travel); the runtime here has no Iceberg
 jars, so the snapshot commit is this explicit manifest. The interface —
-append round partition, read as-of round — is the Iceberg one.
+append round partition, read as-of round — is the Iceberg one. The
+accumulating round=N directories are Iceberg's small-file problem: there,
+periodic `rewrite_data_files` compaction (and manifest rewrite) bounds the
+file count while `read_all` semantics stay identical; the per-round
+directory layout maps 1:1 onto that maintenance path.
 """
 
 from __future__ import annotations
