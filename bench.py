@@ -158,21 +158,38 @@ def main() -> None:
     total = round(time.monotonic() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "urls_fetched_deduped_per_sec",
-                "value": crawl["urls_per_sec"],
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl": crawl,
-                "cpus": cpus,
-                "total_wall_sec": total,
-                "urls_per_sec_per_core": round(crawl["urls_per_sec"] / cpus, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "cpus": cpus,
+        "total_wall_sec": total,
+        "urls_per_sec_per_core": round(crawl["urls_per_sec"] / cpus, 2),
+    }
+    # surface the recorded N-vs-4N evidence (scripts/bench_scaling.py —
+    # too long to rerun per bench invocation) next to the headline
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING_r02.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        runs = [s.get("calibrated_run"), s.get("post_hardening_run")]
+        runs = [r for r in runs if r]
+        out["scaling"] = {
+            "artifact": "SCALING_r02.json",
+            "raw_efficiency": [r["scaling_efficiency"] for r in runs],
+            "hw_kernel_efficiency": [
+                r["hw_calibration"]["hw_efficiency"] for r in runs
+            ],
+            "engine_relative_efficiency": [
+                r["engine_relative_efficiency"] for r in runs
+            ],
+            "pass": all(r["pass"] for r in runs),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
