@@ -222,6 +222,50 @@ def test_broadcast_gate_preserves_semantics(spark, tmp_path, corpus):
     assert snap(st_b) == snap(st_s)
 
 
+def test_all_policies_combined(spark, tmp_path, corpus):
+    """Feature interaction: linear retries + daily budgets + recrawl TTL
+    active at once — the accounting identity, the budget caps, and replay
+    determinism must all hold simultaneously."""
+    cfg = CrawlConfig(
+        max_rounds=6,
+        retry_max=2, retry_backoff="linear", retry_backoff_step=2,
+        daily_budget=4, rounds_per_day=3,
+        recrawl_ttl_rounds=4, recrawl_priority=2,
+    )
+    _, m1, st1 = crawl(spark, tmp_path, corpus, "combo1", cfg)
+    _, m2, st2 = crawl(spark, tmp_path, corpus, "combo2", cfg)
+
+    for m in m1:
+        fn = st1.read_round(spark, "frontier", m.round + 1).count()
+        assert fn == (
+            m.deferred_by_politeness + m.enqueued + m.held_by_backoff
+            + m.retried + m.recrawled
+        ), m.as_dict()
+
+    log = st1.read_all(spark, "fetch_log").filter(F.col("status") != "robots")
+    # per-round budget (1 for h0.test, 2 default — synth_politeness)
+    per_round = log.groupBy("round", "host").count().collect()
+    for r in per_round:
+        assert r["count"] <= (1 if r["host"] == "h0.test" else 2), r
+    # daily cap: <= 4 requests per host per 3-round window
+    per_day = (
+        log.groupBy((F.col("round") / 3).cast("int").alias("day"), "host")
+        .count()
+        .filter(F.col("count") > 4)
+    )
+    assert per_day.count() == 0
+
+    def snap(st):
+        return sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+
+    assert snap(st1) == snap(st2)  # deterministic under the full policy stack
+
+
 def test_counters_consistent(spark, tmp_path, corpus):
     _, metrics, state = crawl(spark, tmp_path, corpus, "counters")
     for m in metrics:
