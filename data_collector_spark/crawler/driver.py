@@ -74,6 +74,11 @@ class CrawlConfig:
     # None = detect duplicate captures with one corpus scan at crawl
     # start; True/False skips the scan (e.g. a snapshot known unique)
     corpus_unique_urls: bool | None = None
+    # True = Bloom probes shuffle keys to their shard and read ONLY that
+    # shard's bitmap from the checkpoint dir (no whole-filter broadcast —
+    # mandatory once the filter outgrows executor memory at 10^10 keys);
+    # False = broadcast all shards (cheaper under ~tens of MB)
+    bloom_probe_via_files: bool = False
 
     def make_bloom(self) -> ShardedBloom | None:
         if not self.use_bloom:
@@ -198,6 +203,7 @@ def run_crawl(
                 wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
                 pages_partitions=pages_partitions,
                 dedup_captures=dedup_captures,
+                bloom_probe_via_files=cfg.bloom_probe_via_files,
             )
             if cfg.recrawl_ttl_rounds > 0:
                 from data_collector_spark.operators.recrawl import (

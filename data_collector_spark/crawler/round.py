@@ -161,6 +161,7 @@ def run_round(
     wave_broadcast_max_rows: int = 5_000_000,
     pages_partitions: int | None = None,
     dedup_captures: bool = False,
+    bloom_probe_via_files: bool = False,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -351,6 +352,10 @@ def run_round(
         spark, cand_unique,
         seen_all.select("url_sha1") if seen_all is not None else None,
         bloom, input_count_obs=cand_count_obs,
+        # saved shards hold exactly rounds 0..N-1 at probe time (save runs
+        # before each commit + at init), so the file-backed probe sees the
+        # same state the in-memory broadcast would
+        bloom_dir=state.bloom_dir() if bloom_probe_via_files else None,
     ).persist()
 
     obs_def = Observation()

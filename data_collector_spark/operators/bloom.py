@@ -37,6 +37,23 @@ from pyspark.sql import types as T
 
 _U64 = np.uint64
 
+_SHARD_CACHE: dict[tuple[str, float], "np.ndarray | None"] = {}
+
+
+def _load_shard(dirpath: str, shard: int):
+    """Worker-side shard loader, memoized per (path, mtime) per worker
+    process — repeated rounds probing an unchanged shard pay the read
+    once, and a rewritten shard (every round ORs new bits in) invalidates
+    naturally via its mtime."""
+    path = os.path.join(dirpath, f"shard-{shard:04d}.npy")
+    if not os.path.exists(path):
+        return None
+    mtime = os.path.getmtime(path)
+    key = (path, mtime)
+    if key not in _SHARD_CACHE:
+        _SHARD_CACHE[key] = np.load(path)
+    return _SHARD_CACHE[key]
+
 
 def add_hash_cols(df: DataFrame, sha_col: str = "url_sha1", n_shards: int = 16) -> DataFrame:
     """h1/h2/shard derived from the sha1 hex, JVM-side (codegen, no UDF).
@@ -141,6 +158,46 @@ class ShardedBloom:
         return keyed.withColumn(out_col, probe("_h1", "_h2", "_shard")).drop(
             "_h1", "_h2", "_shard"
         )
+
+    def with_maybe_seen_partitioned(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        dirpath: str,
+        sha_col: str = "url_sha1",
+        out_col: str = "maybe_seen",
+    ) -> DataFrame:
+        """Shard-partitioned probe: NO driver broadcast of any bitmap.
+
+        The 10^10-key path: at 256 shards x 2^32 bits the filter is
+        128 GiB — unbroadcastable — but each executor only ever needs the
+        shards of the keys it holds. Keys shuffle on their shard id (one
+        applyInPandas group per shard) and the group's worker loads JUST
+        that shard's .npy from shared storage (the checkpoint dir here; an
+        object store in production), memoized per worker process. Shuffle
+        cost: the candidate keys (which the downstream anti-join shuffles
+        anyway); memory cost per task: ONE shard.
+
+        Semantics identical to with_maybe_seen (pytest-pinned).
+        """
+        m, k, n_shards = self.m, self.k, self.n_shards
+
+        def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["_shard"].iloc[0])
+            bm = _load_shard(dirpath, shard)
+            if bm is None:
+                pdf[out_col] = False
+                return pdf.drop(columns=["_h1", "_h2", "_shard"])
+            pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m - 1)
+            bits = (bm[pos >> 6] >> (pos & _U64(63))) & _U64(1)
+            pdf[out_col] = bits.all(axis=1)
+            return pdf.drop(columns=["_h1", "_h2", "_shard"])
+
+        keyed = add_hash_cols(df, sha_col, n_shards)
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + f", {out_col} boolean"
+        return keyed.groupBy("_shard").applyInPandas(probe_group, schema=out_schema)
 
     # ---- persistence (resume-from-checkpoint) ---------------------------
     def save(self, dirpath: str) -> None:

@@ -36,6 +36,7 @@ def dedup_against_seen(
     bloom: ShardedBloom | None = None,
     key: str = "url_sha1",
     input_count_obs: list[Observation] | None = None,
+    bloom_dir: str | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is not in ``seen``.
 
@@ -47,11 +48,22 @@ def dedup_against_seen(
     evaluates anyway, so the caller's dedup counter costs zero extra jobs
     (each branch is scanned exactly once per action, so the observations
     fire exactly once).
+
+    ``bloom_dir``: when set, the Bloom probe runs shard-PARTITIONED —
+    candidates shuffle on their shard id and each task reads only its
+    shard's bitmap from ``bloom_dir`` — instead of broadcasting every
+    shard to every executor (mandatory once the filter outgrows executor
+    memory, e.g. 128 GiB at 10^10 keys).
     """
     if seen is None:
         return _observed(candidates, input_count_obs)
     if bloom is not None and bloom.bitmaps:
-        flagged = bloom.with_maybe_seen(spark, candidates, key)
+        if bloom_dir is not None:
+            flagged = bloom.with_maybe_seen_partitioned(
+                spark, candidates, bloom_dir, key
+            )
+        else:
+            flagged = bloom.with_maybe_seen(spark, candidates, key)
         definitely_new = _observed(
             flagged.filter(~F.col("maybe_seen")).drop("maybe_seen"), input_count_obs
         )

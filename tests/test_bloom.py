@@ -49,6 +49,69 @@ def test_incremental_merge(spark):
     assert bf.with_maybe_seen(spark, both).filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_partitioned_probe_matches_broadcast_probe(spark, tmp_path):
+    """The shard-partitioned (file-backed, no-broadcast) probe must flag
+    exactly the same rows as the broadcast probe — including false
+    positives (identical hash scheme, identical bitmaps)."""
+    added = sha_df(spark, [f"http://h{i % 5}.test/p/{i}" for i in range(1500)])
+    probe_set = sha_df(
+        spark,
+        [f"http://h{i % 5}.test/p/{i}" for i in range(1000, 2500)],  # half seen
+    )
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 16, k=5)
+    bf.add_df(added)
+    d = str(tmp_path / "bloom_files")
+    bf.save(d)
+    a = {
+        (r["url_sha1"], r["maybe_seen"])
+        for r in bf.with_maybe_seen(spark, probe_set).collect()
+    }
+    b = {
+        (r["url_sha1"], r["maybe_seen"])
+        for r in bf.with_maybe_seen_partitioned(spark, probe_set, d).collect()
+    }
+    assert a == b
+    # and no false negatives through the file path either
+    seen_flags = bf.with_maybe_seen_partitioned(spark, added, d)
+    assert seen_flags.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_crawl_with_file_backed_probe_matches_broadcast(spark, tmp_path):
+    """End-to-end: a crawl probing shards from the checkpoint dir produces
+    the identical seen set and fetch log as the broadcast-probe crawl."""
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import (
+        synth_pages,
+        synth_politeness,
+        synth_robots,
+        synth_seeds,
+    )
+
+    corpus_dir = str(tmp_path / "fb_corpus")
+    synth_pages(spark, 120, n_hosts=4, partitions=2).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+
+    def go(name, via_files):
+        wd = str(tmp_path / name)
+        run_crawl(
+            spark, wd, pages, synth_seeds(spark, 120, n_hosts=4),
+            synth_robots(spark), synth_politeness(spark, 4),
+            CrawlConfig(max_rounds=3, bloom_probe_via_files=via_files),
+        )
+        st = CrawlState(wd)
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+        return seen, log
+
+    assert go("fb_on", True) == go("fb_off", False)
+
+
 def test_dedup_matches_exact_antijoin(spark):
     seen_vals = [f"u{i}" for i in range(800)]
     cand_vals = [f"u{i}" for i in range(400, 1200)]  # half overlap
