@@ -32,7 +32,7 @@ from data_collector_spark.crawler.round import run_round
 from data_collector_spark.crawler.state import CrawlState, RoundMetrics
 from data_collector_spark.crawler.telemetry import EventLog
 from data_collector_spark.functions.urls import with_canonical_url
-from data_collector_spark.operators.bloom import ShardedBloom
+from data_collector_spark.operators.bloom import BloomSchemeMismatch, ShardedBloom
 from data_collector_spark.operators.politeness import compile_budgets
 
 SEED_EPOCH = datetime(2024, 1, 1)
@@ -88,7 +88,12 @@ class CrawlConfig:
     def load_bloom(self, dirpath: str) -> ShardedBloom | None:
         if not self.use_bloom:
             return None
-        return ShardedBloom.load(dirpath, self.bloom_shards, self.bloom_bits, self.bloom_k)
+        # file-backed mode keeps the driver bitmap-free: validate the
+        # checkpoint's scheme meta but leave the bytes on disk
+        return ShardedBloom.load(
+            dirpath, self.bloom_shards, self.bloom_bits, self.bloom_k,
+            load_bitmaps=not self.bloom_probe_via_files,
+        )
 
 
 def init_crawl(
@@ -119,8 +124,11 @@ def init_crawl(
     state.write_round("seen", 0, seen0)
     bloom = cfg.make_bloom()
     if bloom is not None:
-        bloom.add_df(state.read_round(spark, "seen", 0))
-        bloom.save(state.bloom_dir())
+        if cfg.bloom_probe_via_files:
+            bloom.add_df_via_files(state.read_round(spark, "seen", 0), state.bloom_dir())
+        else:
+            bloom.add_df(state.read_round(spark, "seen", 0))
+            bloom.save(state.bloom_dir())
     state.commit(-1, None, extra={"initialized": True})
 
 
@@ -149,7 +157,23 @@ def run_crawl(
         init_crawl(spark, state, seeds, cfg)
     else:
         state.drop_uncommitted()
-    bloom = cfg.load_bloom(state.bloom_dir())
+    try:
+        bloom = cfg.load_bloom(state.bloom_dir())
+    except BloomSchemeMismatch:
+        # checkpoint shards were written under another hash scheme/sizing:
+        # probing them would produce false negatives, so rebuild the filter
+        # from the exact seen table (the source of truth) before resuming
+        import shutil
+
+        shutil.rmtree(state.bloom_dir(), ignore_errors=True)
+        bloom = cfg.make_bloom()
+        seen_all = state.read_all(spark, "seen")
+        if bloom is not None and seen_all is not None:
+            if cfg.bloom_probe_via_files:
+                bloom.add_df_via_files(seen_all, state.bloom_dir())
+            else:
+                bloom.add_df(seen_all)
+                bloom.save(state.bloom_dir())
 
     # ---- once-per-crawl setup (never repeated inside the round loop) ----
     budget_spec = compile_budgets(spark, budgets, cfg.default_budget)

@@ -210,6 +210,7 @@ def run_round(
     wave, deferred = pop_wave_spec(
         allowed, budget_spec, skew_salt,
         host_caps=host_caps, default_remaining=daily_budget,
+        daily_cap=daily_budget,
     )
     wave = wave.persist()
     mark("pop_wave")
@@ -404,8 +405,14 @@ def run_round(
             seen_delta = state.read_round(
                 spark, "seen", round_n + 1, "url_sha1 string, url_canon string"
             )
-            bloom.add_df(seen_delta)
-        bloom.save(state.bloom_dir())
+            if bloom_probe_via_files:
+                # 10^10-key path: shard groups OR into their own shard file;
+                # no bitmap bytes ever reach (or live on) the driver
+                bloom.add_df_via_files(seen_delta, state.bloom_dir())
+            else:
+                bloom.add_df(seen_delta)
+        if not bloom_probe_via_files:
+            bloom.save(state.bloom_dir())
     mark("bloom")
 
     # per-partition lineage: fetched rows per host (bounded: top 50)

@@ -27,6 +27,8 @@ probe positions (h1 + i*h2) mod m for i<k (Kirsch-Mitzenmacher).
 
 from __future__ import annotations
 
+import fcntl
+import json
 import os
 
 import numpy as np
@@ -37,22 +39,46 @@ from pyspark.sql import types as T
 
 _U64 = np.uint64
 
-_SHARD_CACHE: dict[tuple[str, float], "np.ndarray | None"] = {}
+# Bump whenever the hash->shard/position derivation changes. Probing a
+# checkpoint built under another scheme reads the wrong shard's bitmap and
+# produces FALSE NEGATIVES (seen URLs re-admitted as new), silently breaking
+# the bloom-on == bloom-off invariant — so save() stamps the scheme and
+# load() refuses a mismatched (or unstamped, pre-versioning) checkpoint.
+SCHEME_VERSION = 2
+
+
+class BloomSchemeMismatch(RuntimeError):
+    """Saved shards were written under a different hash scheme or sizing;
+    the caller must rebuild the filter from the exact seen table."""
+
+
+# Worker-side cache: one entry PER SHARD PATH (not per (path, mtime)) so a
+# rewritten shard replaces its old bitmap instead of accumulating a copy
+# per round per worker — with worker reuse the old keying leaked one full
+# bitmap per shard per round (512 MiB/shard at the 10^10-key sizing).
+_SHARD_CACHE: dict[str, tuple[float, np.ndarray]] = {}
 
 
 def _load_shard(dirpath: str, shard: int):
-    """Worker-side shard loader, memoized per (path, mtime) per worker
-    process — repeated rounds probing an unchanged shard pay the read
-    once, and a rewritten shard (every round ORs new bits in) invalidates
-    naturally via its mtime."""
+    """Worker-side shard loader, memoized per path per worker process —
+    repeated rounds probing an unchanged shard pay the read once, and a
+    rewritten shard (every round ORs new bits in) replaces the cached
+    bitmap via its mtime."""
     path = os.path.join(dirpath, f"shard-{shard:04d}.npy")
     if not os.path.exists(path):
         return None
     mtime = os.path.getmtime(path)
-    key = (path, mtime)
-    if key not in _SHARD_CACHE:
-        _SHARD_CACHE[key] = np.load(path)
-    return _SHARD_CACHE[key]
+    hit = _SHARD_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
+        hit = (mtime, np.load(path))
+        _SHARD_CACHE[path] = hit
+    return hit[1]
+
+
+def dir_has_shards(dirpath: str) -> bool:
+    return os.path.isdir(dirpath) and any(
+        fn.startswith("shard-") and fn.endswith(".npy") for fn in os.listdir(dirpath)
+    )
 
 
 def add_hash_cols(df: DataFrame, sha_col: str = "url_sha1", n_shards: int = 16) -> DataFrame:
@@ -125,6 +151,57 @@ class ShardedBloom:
                 self.bitmaps[r["shard"]] = self.bitmaps[r["shard"]] | delta
             else:
                 self.bitmaps[r["shard"]] = delta.copy()
+
+    def add_df_via_files(
+        self, df: DataFrame, dirpath: str, sha_col: str = "url_sha1"
+    ) -> dict[int, int]:
+        """10^10-key build path: each shard's ``applyInPandas`` group ORs
+        its delta DIRECTLY into its shard file on shared storage (the
+        checkpoint dir here; an object store in production). Only
+        (shard_id, row_count) rows reach the driver — never bitmap bytes —
+        so the driver's memory stays O(n_shards) metadata while the filter
+        itself can be 128 GiB across shards.
+
+        The in-place OR is crash/retry-safe: the file is replaced
+        atomically under an exclusive flock (task retries and speculative
+        duplicates re-OR the same bits — idempotent), and a crash between
+        shard writes leaves extra bits set for an uncommitted round, which
+        only costs false positives that the exact anti-join re-checks.
+
+        Returns {shard: rows_added} (driver-side bookkeeping only).
+        """
+        os.makedirs(dirpath, exist_ok=True)
+        self._write_meta(dirpath)
+        keyed = add_hash_cols(df.select(sha_col), sha_col, self.n_shards)
+        m, k, words = self.m, self.k, self.m // 64
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["_shard"].iloc[0])
+            delta = np.zeros(words, dtype=_U64)
+            pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m - 1)
+            idx = (pos >> 6).ravel()
+            bit = (_U64(1) << (pos & _U64(63))).ravel()
+            np.bitwise_or.at(delta, idx, bit)
+            path = os.path.join(dirpath, f"shard-{shard:04d}.npy")
+            with open(path + ".lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    if os.path.exists(path):
+                        delta |= np.load(path)
+                    tmp = path + f".tmp-{os.getpid()}"
+                    with open(tmp, "wb") as out:
+                        np.save(out, delta)
+                    os.replace(tmp, path)
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+            return pd.DataFrame({"shard": [shard], "n_rows": [len(pdf)]})
+
+        rows = (
+            keyed.groupBy("_shard")
+            .applyInPandas(build, schema="shard int, n_rows long")
+            .collect()
+        )
+        return {r["shard"]: r["n_rows"] for r in rows}
 
     # ---- probe ---------------------------------------------------------
     def with_maybe_seen(
@@ -200,15 +277,63 @@ class ShardedBloom:
         return keyed.groupBy("_shard").applyInPandas(probe_group, schema=out_schema)
 
     # ---- persistence (resume-from-checkpoint) ---------------------------
+    def _meta(self) -> dict:
+        return {
+            "scheme": SCHEME_VERSION,
+            "n_shards": self.n_shards,
+            "m": self.m,
+            "k": self.k,
+        }
+
+    def _write_meta(self, dirpath: str) -> None:
+        path = os.path.join(dirpath, "_meta.json")
+        if os.path.exists(path):
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._meta(), f)
+        os.replace(tmp, path)
+
     def save(self, dirpath: str) -> None:
         os.makedirs(dirpath, exist_ok=True)
+        self._write_meta(dirpath)
         for s, b in self.bitmaps.items():
             np.save(os.path.join(dirpath, f"shard-{s:04d}.npy"), b)
 
     @classmethod
-    def load(cls, dirpath: str, n_shards: int = 16, bits_per_shard: int = 1 << 22, k: int = 7) -> "ShardedBloom":
+    def load(
+        cls,
+        dirpath: str,
+        n_shards: int = 16,
+        bits_per_shard: int = 1 << 22,
+        k: int = 7,
+        load_bitmaps: bool = True,
+    ) -> "ShardedBloom":
+        """Restore from a checkpoint dir, verifying the hash scheme.
+
+        Shards present without a matching ``_meta.json`` (other scheme
+        version, other sizing, or a pre-versioning checkpoint) raise
+        ``BloomSchemeMismatch`` — probing them would yield false negatives.
+        ``load_bitmaps=False`` validates the meta but keeps the driver free
+        of bitmap bytes (the file-backed build/probe mode).
+        """
         bf = cls(n_shards, bits_per_shard, k)
-        if os.path.isdir(dirpath):
+        if not dir_has_shards(dirpath):
+            return bf
+        meta_path = os.path.join(dirpath, "_meta.json")
+        if not os.path.exists(meta_path):
+            raise BloomSchemeMismatch(
+                f"{dirpath}: shard files without a scheme marker "
+                "(pre-versioning checkpoint) — rebuild from the seen table"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta != bf._meta():
+            raise BloomSchemeMismatch(
+                f"{dirpath}: saved {meta} != configured {bf._meta()} — "
+                "rebuild from the seen table"
+            )
+        if load_bitmaps:
             for fn in os.listdir(dirpath):
                 if fn.startswith("shard-") and fn.endswith(".npy"):
                     bf.bitmaps[int(fn[6:10])] = np.load(os.path.join(dirpath, fn))

@@ -81,6 +81,7 @@ def pop_wave_spec(
     skew_salt: int = 16,
     host_caps: DataFrame | None = None,
     default_remaining: int = 0,
+    daily_cap: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (wave with seq_in_host, deferred). Deterministic given the inputs.
 
@@ -88,6 +89,11 @@ def pop_wave_spec(
     current daily window; effective budget = min(per_round, remaining).
     Hosts absent from host_caps have spent nothing, so they get
     ``default_remaining`` (the full daily allowance).
+
+    daily_cap: when the daily policy is on (> 0), the effective budget is
+    additionally clamped to the daily allowance even when ``host_caps`` is
+    None — the first round of a window has no spend table yet, and a
+    per-round budget larger than the daily one must not leak through.
     """
     f = frontier
     if spec.bdf is not None:
@@ -96,6 +102,8 @@ def pop_wave_spec(
         ).drop("budget_per_round")
     else:
         f = f.withColumn("_budget", F.lit(spec.default_budget))
+    if daily_cap > 0:
+        f = f.withColumn("_budget", F.least("_budget", F.lit(daily_cap)))
     if host_caps is not None:
         f = f.join(F.broadcast(host_caps), "host", "left").withColumn(
             "_budget",

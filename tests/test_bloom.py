@@ -112,6 +112,130 @@ def test_crawl_with_file_backed_probe_matches_broadcast(spark, tmp_path):
     assert go("fb_on", True) == go("fb_off", False)
 
 
+def test_file_build_matches_collect_build(spark, tmp_path):
+    """Executor-side (OR-into-shard-file) build produces bit-identical
+    shards to the driver-collected build, incrementally across rounds."""
+    import numpy as np
+
+    from data_collector_spark.operators import bloom as bloom_mod
+
+    r1 = sha_df(spark, [f"fa-{i}" for i in range(400)])
+    r2 = sha_df(spark, [f"fb-{i}" for i in range(400)])
+    mem = ShardedBloom(n_shards=8, bits_per_shard=1 << 16, k=5)
+    mem.add_df(r1)
+    mem.add_df(r2)
+
+    d = str(tmp_path / "file_build")
+    fb = ShardedBloom(n_shards=8, bits_per_shard=1 << 16, k=5)
+    stats1 = fb.add_df_via_files(r1, d)
+    stats2 = fb.add_df_via_files(r2, d)
+    # no bitmap bytes crossed collect(): the driver object holds nothing
+    assert fb.bitmaps == {}
+    assert sum(stats1.values()) == 400 and sum(stats2.values()) == 400
+
+    for s, bm in mem.bitmaps.items():
+        on_disk = np.load(f"{d}/shard-{s:04d}.npy")
+        assert np.array_equal(on_disk, bm), f"shard {s} differs"
+
+
+def test_file_build_or_is_idempotent(spark, tmp_path):
+    """Task retries re-OR the same delta — the shard file must not change."""
+    import numpy as np
+
+    df = sha_df(spark, [f"ri-{i}" for i in range(300)])
+    d = str(tmp_path / "idem")
+    fb = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, k=4)
+    fb.add_df_via_files(df, d)
+    before = {s: np.load(f"{d}/shard-{s:04d}.npy") for s in range(4)
+              if __import__("os").path.exists(f"{d}/shard-{s:04d}.npy")}
+    fb.add_df_via_files(df, d)
+    for s, bm in before.items():
+        assert np.array_equal(np.load(f"{d}/shard-{s:04d}.npy"), bm)
+
+
+def test_shard_cache_evicts_stale_bitmaps(tmp_path):
+    """ADVICE r2: the worker-side cache keeps at most ONE bitmap per shard
+    path; a rewrite (new mtime) replaces the entry instead of adding one."""
+    import os
+
+    import numpy as np
+
+    from data_collector_spark.operators.bloom import _SHARD_CACHE, _load_shard
+
+    d = str(tmp_path / "cache")
+    os.makedirs(d)
+    path = os.path.join(d, "shard-0000.npy")
+    np.save(path, np.zeros(4, dtype=np.uint64))
+    _SHARD_CACHE.clear()
+    _load_shard(d, 0)
+    np.save(path, np.ones(4, dtype=np.uint64))
+    os.utime(path, (1e9, 1e9))  # force a distinct mtime
+    got = _load_shard(d, 0)
+    assert (got == 1).all()
+    assert len([k for k in _SHARD_CACHE if k == path]) == 1
+    assert len(_SHARD_CACHE) == 1
+
+
+def test_scheme_mismatch_raises_and_crawl_rebuilds(spark, tmp_path):
+    """ADVICE r2: shards saved under another hash scheme (or without a
+    scheme marker) must not be probed — load fails fast, and run_crawl
+    rebuilds the filter from the seen table, preserving bloom semantics."""
+    import json
+    import os
+
+    import pytest
+
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.operators.bloom import BloomSchemeMismatch
+    from data_collector_spark.sources.generator import (
+        synth_pages,
+        synth_politeness,
+        synth_robots,
+        synth_seeds,
+    )
+
+    bf = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, k=4)
+    bf.add_df(sha_df(spark, [f"m-{i}" for i in range(100)]))
+    d = str(tmp_path / "mismatch")
+    bf.save(d)
+    # stamp a stale scheme version
+    meta = json.load(open(os.path.join(d, "_meta.json")))
+    meta["scheme"] = 1
+    json.dump(meta, open(os.path.join(d, "_meta.json"), "w"))
+    with pytest.raises(BloomSchemeMismatch):
+        ShardedBloom.load(d, 4, 1 << 14, 4)
+    # no meta at all (pre-versioning checkpoint) is also a mismatch
+    os.remove(os.path.join(d, "_meta.json"))
+    with pytest.raises(BloomSchemeMismatch):
+        ShardedBloom.load(d, 4, 1 << 14, 4)
+
+    # end-to-end: corrupt the scheme marker mid-crawl; the resumed crawl
+    # rebuilds from seen and still never re-fetches a URL
+    corpus_dir = str(tmp_path / "ms_corpus")
+    synth_pages(spark, 100, n_hosts=4, partitions=2).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    wd = str(tmp_path / "ms_wd")
+    cfg = CrawlConfig(max_rounds=2)
+    run_crawl(spark, wd, pages, synth_seeds(spark, 100, n_hosts=4),
+              synth_robots(spark), synth_politeness(spark, 4), cfg)
+    st = CrawlState(wd)
+    meta_path = os.path.join(st.bloom_dir(), "_meta.json")
+    meta = json.load(open(meta_path))
+    meta["scheme"] = 1
+    json.dump(meta, open(meta_path, "w"))
+    cfg2 = CrawlConfig(max_rounds=4)
+    run_crawl(spark, wd, pages, synth_seeds(spark, 100, n_hosts=4),
+              synth_robots(spark), synth_politeness(spark, 4), cfg2)
+    fetched = (
+        st.read_all(spark, "fetch_log").filter(F.col("status") == "fetched")
+        .groupBy("url_sha1").count().filter("count > 1").count()
+    )
+    assert fetched == 0
+    # rebuilt meta carries the current scheme again
+    assert json.load(open(meta_path))["scheme"] != 1
+
+
 def test_dedup_matches_exact_antijoin(spark):
     seen_vals = [f"u{i}" for i in range(800)]
     cand_vals = [f"u{i}" for i in range(400, 1200)]  # half overlap

@@ -126,3 +126,37 @@ def test_daily_budget_exhausts_and_resets(spark, tmp_path):
         .agg(F.count("*").alias("n"))
     )
     assert day_tot.filter(F.col("n") > 5).count() == 0
+
+
+def test_daily_budget_caps_first_round_of_window(spark, tmp_path):
+    """ADVICE r2: when budget_per_round > daily_budget the FIRST round of
+    each window (no spend table yet) must still clamp to the daily
+    allowance, not fetch the full per-round budget."""
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import synth_pages
+
+    corpus_dir = str(tmp_path / "daily_clamp_corpus")
+    synth_pages(spark, 12, n_hosts=1, links_per_page=2, dead_frac=0.0,
+                partitions=1).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).withColumn(
+        "priority", F.lit(0)
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 6)], "host string, budget_per_round int")
+    run_crawl(
+        spark, str(tmp_path / "daily_clamp_wd"), pages, seeds, robots, budgets,
+        CrawlConfig(max_rounds=4, default_budget=6,
+                    daily_budget=4, rounds_per_day=2),
+    )
+    state = CrawlState(str(tmp_path / "daily_clamp_wd"))
+    per_round = {
+        r["round"]: r["n"]
+        for r in state.read_all(spark, "fetch_log")
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    # window 1 (rounds 0-1): clamp 6->4 then 0 remaining;
+    # window 2 (rounds 2-3): reset -> 4 then 0
+    assert [per_round.get(n, 0) for n in range(4)] == [4, 0, 4, 0]
