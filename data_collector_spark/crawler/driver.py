@@ -23,13 +23,17 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 import os
 
-from data_collector_spark.crawler.round import run_round
-from data_collector_spark.crawler.state import CrawlState, RoundMetrics
+from data_collector_spark.crawler.round import _obs_metrics, run_round
+from data_collector_spark.crawler.state import (
+    FETCH_LOG_SCHEMA,
+    CrawlState,
+    RoundMetrics,
+)
 from data_collector_spark.crawler.telemetry import EventLog
 from data_collector_spark.functions.urls import with_canonical_url
 from data_collector_spark.operators.bloom import BloomSchemeMismatch, ShardedBloom
@@ -229,29 +233,87 @@ def run_crawl(
                 dedup_captures=dedup_captures,
                 bloom_probe_via_files=cfg.bloom_probe_via_files,
             )
+            recrawl_hosts = 0
             if cfg.recrawl_ttl_rounds > 0:
                 from data_collector_spark.operators.recrawl import (
+                    LAST_FETCH_SCHEMA,
+                    merge_last_fetch,
                     stale_recrawl_candidates,
                 )
 
-                log_all = state.read_all(spark, "fetch_log")
+                # running (url, last_round) state: merge THIS round's log
+                # into the previous table — one bounded rewrite, never a
+                # full fetch_log-history scan inside the round loop
+                prev_lf = (
+                    state.read_round(spark, "last_fetch", n, LAST_FETCH_SCHEMA)
+                    if state.has_round("last_fetch", n)
+                    else None
+                )
+                if prev_lf is None and n > 0:
+                    # checkpoint predates the running table (recrawl just
+                    # enabled, or a pre-r3 workdir): bootstrap ONCE from
+                    # the full history — never inside the steady loop
+                    hist = state.read_all(spark, "fetch_log")
+                    if hist is not None:
+                        prev_lf = (
+                            hist.filter(F.col("status") == "fetched")
+                            .groupBy("url_sha1")
+                            .agg(
+                                F.max_by(
+                                    F.struct("url_canon", "host"), "round"
+                                ).alias("_u"),
+                                F.max("round").cast("int").alias("last_round"),
+                            )
+                            .select(
+                                "url_sha1",
+                                F.col("_u.url_canon").alias("url_canon"),
+                                F.col("_u.host").alias("host"),
+                                "last_round",
+                            )
+                        )
+                log_n = state.read_round(spark, "fetch_log", n, FETCH_LOG_SCHEMA)
+                state.write_round(
+                    "last_fetch", n + 1, merge_last_fetch(prev_lf, log_n, n)
+                )
                 fnext = state.read_round(spark, "frontier", n + 1)
                 stale = stale_recrawl_candidates(
-                    log_all, fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority
+                    state.read_round(spark, "last_fetch", n + 1, LAST_FETCH_SCHEMA),
+                    fnext, n, cfg.recrawl_ttl_rounds, cfg.recrawl_priority,
                 )
                 # materialize to a side table FIRST: appending into a
                 # directory another plan is lazily reading is a
                 # read-your-own-writes hazard (Spark snapshots file
-                # listings at analysis time)
-                state.write_round("recrawl", n + 1, stale)
-                stale_mat = state.read_round(spark, "recrawl", n + 1)
-                m.recrawled = stale_mat.count()
+                # listings at analysis time). The recrawl counters ride
+                # the write as an Observation — no dedicated count job —
+                # and the host figure feeds the next wave-bound so a
+                # recrawl-heavy round can't slip past the broadcast gate.
+                obs_re = Observation()
+                state.write_round(
+                    "recrawl", n + 1,
+                    stale.observe(
+                        obs_re,
+                        F.count(F.lit(1)).alias("n"),
+                        F.approx_count_distinct("host").alias("hosts"),
+                    ),
+                )
+                rm = _obs_metrics(obs_re)
+                m.recrawled = rm.get("n") or 0
+                recrawl_hosts = rm.get("hosts") or 0
                 if m.recrawled:
-                    state.append_round("frontier", n + 1, stale_mat)
+                    state.append_round(
+                        "frontier", n + 1, state.read_round(spark, "recrawl", n + 1)
+                    )
             state.commit(n, m)
+            # the running tables only need their current dir after commit
+            state.prune_rounds("last_fetch", keep_from=n + 1)
+            state.prune_rounds("host_spend", keep_from=n + 1)
         events.emit("round_metrics", f"round={n}", **m.as_dict())
         metrics.append(m)
         frontier_rows = _frontier_rows_estimate(m)
-        frontier_hosts = max(m.frontier_hosts_next, 1 if frontier_rows else 0)
+        # recrawl rows are appended AFTER obs_frontier fires, so their hosts
+        # must be folded in here (sum = upper bound; the gate only needs one)
+        frontier_hosts = max(
+            m.frontier_hosts_next + recrawl_hosts, 1 if frontier_rows else 0
+        )
     events.emit("crawl_end", workdir, rounds_run=len(metrics))
     return metrics

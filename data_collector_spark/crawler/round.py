@@ -110,6 +110,9 @@ def _retry_not_before(round_n: int, kind: str, base: int, step: int):
     return F.lit(round_n) + delta
 
 
+HOST_SPEND_SCHEMA = "host string, spent long"
+
+
 def daily_host_caps(
     spark: SparkSession,
     state: CrawlState,
@@ -122,24 +125,50 @@ def daily_host_caps(
 
     A "day" is ``rounds_per_day`` rounds; requests spent since the window
     opened (fetched + dead statuses — robots blocks never issued a
-    request) reduce the remaining allowance. Returns (host, remaining) or
-    None when the window just reset (no spend yet)."""
-    day_start = (round_n // rounds_per_day) * rounds_per_day
-    spent = [
-        state.read_round(spark, "fetch_log", r, FETCH_LOG_SCHEMA)
-        for r in range(day_start, round_n)
-        if state.has_round("fetch_log", r)
-    ]
-    if not spent:
+    request) reduce the remaining allowance. The spend comes from the
+    RUNNING ``host_spend/round=N`` table maintained by the previous round
+    (one tiny read, O(hosts)) — not from re-scanning every fetch_log round
+    of the window, which cost O(window²) scans per day at r2. Returns
+    (host, remaining) or None at a window start (no spend yet; the caller
+    clamps to the daily budget via ``daily_cap``)."""
+    if round_n % rounds_per_day == 0:
         return None
-    logs = spent[0]
-    for df in spent[1:]:
-        logs = logs.unionByName(df)
-    return (
-        logs.filter(F.col("status").isin("fetched", "dead"))
-        .groupBy("host")
-        .agg((F.lit(daily_budget) - F.count("*")).cast("int").alias("remaining"))
+    if not state.has_round("host_spend", round_n):
+        return None
+    spend = state.read_round(spark, "host_spend", round_n, HOST_SPEND_SCHEMA)
+    return spend.select(
+        "host", (F.lit(daily_budget) - F.col("spent")).cast("int").alias("remaining")
     )
+
+
+def update_host_spend(
+    spark: SparkSession,
+    state: CrawlState,
+    round_n: int,
+    rounds_per_day: int,
+) -> None:
+    """Fold round N's request log into the running window-spend table.
+
+    Written as ``host_spend/round=N+1`` (what round N+1's cap read needs);
+    skipped entirely when round N+1 opens a fresh window — absent table
+    means zero spend. Cost: one bounded groupBy over ONE round's log plus
+    a union with the O(hosts) previous table."""
+    if (round_n + 1) % rounds_per_day == 0:
+        return
+    cur = (
+        state.read_round(spark, "fetch_log", round_n, FETCH_LOG_SCHEMA)
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("host")
+        .agg(F.count("*").alias("spent"))
+    )
+    if round_n % rounds_per_day != 0 and state.has_round("host_spend", round_n):
+        prev = state.read_round(spark, "host_spend", round_n, HOST_SPEND_SCHEMA)
+        cur = (
+            prev.unionByName(cur)
+            .groupBy("host")
+            .agg(F.sum("spent").cast("long").alias("spent"))
+        )
+    state.write_round("host_spend", round_n + 1, cur.select("host", F.col("spent").cast("long")))
 
 
 def run_round(
@@ -301,6 +330,8 @@ def run_round(
     lm = _obs_metrics(obs_log)
     m.dead = _n(lm, "dead")
     m.robots_blocked = _n(lm, "robots")
+    if daily_budget > 0 and rounds_per_day > 0:
+        update_host_spend(spark, state, round_n, rounds_per_day)
     # D6: re-enqueue dead URLs, next-eligible round per backoff family
     retries = None
     if retry_max > 0:

@@ -29,7 +29,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "fetch_log", "pages_out", "recrawl")
+TABLES = (
+    "frontier", "seen", "fetch_log", "pages_out", "recrawl",
+    # running per-round state tables (replaced each round, pruned after
+    # commit): window spend for daily budgets, last-fetch for recrawl TTL
+    "host_spend", "last_fetch",
+)
 
 FRONTIER_SCHEMA = (
     "url_canon string, url_sha1 string, host string, depth int, "
@@ -139,14 +144,29 @@ class CrawlState:
                 if not entry.startswith("round="):
                     continue
                 n = int(entry.split("=", 1)[1])
-                # round N writes frontier/round=N+1, seen/round=N+1 and
-                # recrawl/round=N+1 before committing last_round=N; init
+                # round N writes frontier/round=N+1, seen/round=N+1,
+                # recrawl/round=N+1 and the running host_spend/last_fetch
+                # round=N+1 dirs before committing last_round=N; init
                 # writes frontier+seen at round 0
                 limit = (last if last is not None else -1) + (
-                    1 if table in ("frontier", "seen", "recrawl") else 0
+                    1
+                    if table
+                    in ("frontier", "seen", "recrawl", "host_spend", "last_fetch")
+                    else 0
                 )
                 if n > limit:
                     shutil.rmtree(os.path.join(base, entry))
+
+    def prune_rounds(self, table: str, keep_from: int) -> None:
+        """Drop round dirs below ``keep_from`` — for running state tables
+        (host_spend, last_fetch) that fully supersede their predecessor
+        each round, so only the current dir is ever needed."""
+        base = self._dir(table)
+        if not os.path.isdir(base):
+            return
+        for entry in os.listdir(base):
+            if entry.startswith("round=") and int(entry.split("=", 1)[1]) < keep_from:
+                shutil.rmtree(os.path.join(base, entry))
 
     def bloom_dir(self) -> str:
         return os.path.join(self.workdir, "bloom")
