@@ -83,6 +83,10 @@ class CrawlConfig:
     # mandatory once the filter outgrows executor memory at 10^10 keys);
     # False = broadcast all shards (cheaper under ~tens of MB)
     bloom_probe_via_files: bool = False
+    # checkpoint maintenance cadence: every K rounds the seen/fetch_log
+    # histories are compacted into one base dir (state.compact), bounding
+    # read_all's per-round file-listing cost over long crawls; 0 = never
+    compact_every_rounds: int = 0
 
     def make_bloom(self) -> ShardedBloom | None:
         if not self.use_bloom:
@@ -307,6 +311,13 @@ def run_crawl(
             # the running tables only need their current dir after commit
             state.prune_rounds("last_fetch", keep_from=n + 1)
             state.prune_rounds("host_spend", keep_from=n + 1)
+            if (
+                cfg.compact_every_rounds > 0
+                and (n + 1) % cfg.compact_every_rounds == 0
+            ):
+                # seen dirs run to n+1 (written pre-commit), fetch_log to n
+                state.compact(spark, "seen", n + 1)
+                state.compact(spark, "fetch_log", n)
         events.emit("round_metrics", f"round={n}", **m.as_dict())
         metrics.append(m)
         frontier_rows = _frontier_rows_estimate(m)

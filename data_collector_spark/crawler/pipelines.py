@@ -95,12 +95,18 @@ class TaskGraph:
         max_workers: int = 4,
         fail_fast: bool = False,
         events=None,
+        run_downstream_on_error: bool = False,
     ) -> dict[str, TaskResult]:
         """Execute all tasks; independent ready tasks run concurrently.
 
-        A failed task marks its transitive dependents skipped (the
-        reference aborts the run on task failure; here independent
-        branches still finish unless fail_fast).
+        On task failure the default marks its transitive dependents
+        skipped — a deliberate deviation from the reference, which sends
+        outgoing edges on failure too, so downstream stagers run on
+        PARTIAL data (/root/reference/src/dag_schedule/task.rs:209-221).
+        ``run_downstream_on_error=True`` restores the reference semantics:
+        dependents are released and run even when an upstream failed (its
+        result value is simply absent). Either way the failure is recorded
+        and re-raised after the graph drains (unless fail_fast).
 
         ``events``: optional telemetry.EventLog — each task runs in a
         task_start/task_end/task_failed span (the reference's instrumented
@@ -153,14 +159,15 @@ class TaskGraph:
                     res = fut.result()
                     with lock:
                         results[task.name] = res
-                        if not res.ok:
+                        release = res.ok or run_downstream_on_error
+                        if not res.ok and not release:
                             mark_skipped(task.name)
-                            if fail_fast:
-                                for f in futures:
-                                    f.cancel()
-                                futures = {}
-                                break
-                        else:
+                        if not res.ok and fail_fast:
+                            for f in futures:
+                                f.cancel()
+                            futures = {}
+                            break
+                        if release:
                             for dep_name in out[task.name]:
                                 if dep_name in results:
                                     continue

@@ -14,10 +14,14 @@ In production these tables are Iceberg (`writeTo(...).append()` gives the
 same snapshot-isolation + time-travel); the runtime here has no Iceberg
 jars, so the snapshot commit is this explicit manifest. The interface —
 append round partition, read as-of round — is the Iceberg one. The
-accumulating round=N directories are Iceberg's small-file problem: there,
-periodic `rewrite_data_files` compaction (and manifest rewrite) bounds the
-file count while `read_all` semantics stay identical; the per-round
-directory layout maps 1:1 onto that maintenance path.
+accumulating round=N directories are Iceberg's small-file problem;
+``compact(table, upto)`` is the `rewrite_data_files` analog: it rewrites
+rounds 0..K (plus any previous base) into one ``base@K`` directory with
+``round`` as a data column, records K in the manifest (the atomic commit
+point), then prunes the superseded dirs — ``read_all`` semantics stay
+identical and a crash at any step leaves a readable table (pre-commit the
+new base is ignored; post-commit the stale round dirs are filtered out by
+the manifest and swept by the next compaction).
 """
 
 from __future__ import annotations
@@ -84,6 +88,12 @@ class CrawlState:
         with open(self.state_path) as f:
             return json.load(f)
 
+    def _write_manifest(self, st: dict) -> None:
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f, indent=1)
+        os.replace(tmp, self.state_path)  # atomic commit point
+
     def commit(self, last_round: int, metrics: RoundMetrics | None = None, extra: dict | None = None) -> None:
         st = self.read() or {"rounds": []}
         st["last_round"] = last_round
@@ -93,10 +103,7 @@ class CrawlState:
             st["rounds"].sort(key=lambda r: r["round"])
         if extra:
             st.update(extra)
-        tmp = self.state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(st, f, indent=1)
-        os.replace(tmp, self.state_path)  # atomic commit point
+        self._write_manifest(st)
 
     def last_committed_round(self) -> int | None:
         st = self.read()
@@ -113,7 +120,36 @@ class CrawlState:
     def append_round(self, table: str, round_n: int, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._dir(table, round_n))
 
+    def compacted_upto(self, table: str) -> int | None:
+        st = self.read()
+        return None if st is None else st.get("compacted", {}).get(table)
+
+    def _base_dir(self, table: str, upto: int) -> str:
+        return os.path.join(self._dir(table), f"base@{upto}")
+
+    def _live_round_dirs(self, table: str) -> list[int]:
+        """Round dirs NOT superseded by the compacted base."""
+        base = self._dir(table)
+        if not os.path.isdir(base):
+            return []
+        ck = self.compacted_upto(table)
+        floor = -1 if ck is None else ck
+        return sorted(
+            n
+            for e in os.listdir(base)
+            if e.startswith("round=") and (n := int(e.split("=", 1)[1])) > floor
+        )
+
     def read_round(self, spark: SparkSession, table: str, round_n: int, schema: str | None = None) -> DataFrame:
+        ck = self.compacted_upto(table)
+        if ck is not None and round_n <= ck:
+            from pyspark.sql import functions as F
+
+            return (
+                spark.read.parquet(self._base_dir(table, ck))
+                .filter(F.col("round") == round_n)
+                .drop("round")
+            )
         path = self._dir(table, round_n)
         reader = spark.read
         if schema:
@@ -121,17 +157,66 @@ class CrawlState:
         return reader.parquet(path)
 
     def read_all(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """All committed rounds; the round=N dirs surface as a `round` column."""
+        """All committed rounds (compacted base + live round=N dirs); the
+        round number surfaces as a `round` column either way."""
         base = self._dir(table)
-        if not os.path.isdir(base) or not any(
-            e.startswith("round=") for e in os.listdir(base)
-        ):
+        ck = self.compacted_upto(table)
+        parts = []
+        if ck is not None:
+            parts.append(spark.read.parquet(self._base_dir(table, ck)))
+        live = self._live_round_dirs(table)
+        if live:
+            parts.append(
+                spark.read.option("basePath", base).parquet(
+                    *(self._dir(table, n) for n in live)
+                )
+            )
+        if not parts:
             return None
-        return spark.read.option("basePath", base).parquet(base)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def has_round(self, table: str, round_n: int) -> bool:
+        ck = self.compacted_upto(table)
+        if ck is not None and round_n <= ck:
+            return True
         d = self._dir(table, round_n)
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def compact(self, spark: SparkSession, table: str, upto_round: int) -> None:
+        """Rewrite rounds <= upto_round (and any previous base) into one
+        ``base@upto_round`` dir, commit the level in the manifest, prune
+        the superseded dirs. Bounds `read_all`'s file-listing cost to
+        O(base + rounds-since-last-compaction) over arbitrarily long
+        crawls — the `rewrite_data_files` maintenance path of the Iceberg
+        layout this checkpoint mirrors."""
+        from pyspark.sql import functions as F
+
+        ck = self.compacted_upto(table)
+        if ck is not None and upto_round <= ck:
+            return
+        df = self.read_all(spark, table)
+        if df is None:
+            return
+        target = self._base_dir(table, upto_round)
+        (
+            df.filter(F.col("round") <= upto_round)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+        st = self.read() or {"rounds": []}
+        st.setdefault("compacted", {})[table] = upto_round  # commit point
+        self._write_manifest(st)
+        # cleanup (idempotent; re-swept by the next compaction on crash)
+        base = self._dir(table)
+        for entry in os.listdir(base):
+            if entry.startswith("round=") and int(entry.split("=", 1)[1]) <= upto_round:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            elif entry.startswith("base@") and int(entry.split("@", 1)[1]) < upto_round:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     def drop_uncommitted(self) -> None:
         """Delete any round dirs newer than the committed round (crash debris)."""

@@ -83,6 +83,25 @@ def test_failure_skips_dependents_but_not_independents(spark):
     assert "other" in done and "child" not in done
 
 
+def test_run_downstream_on_error_matches_reference(spark):
+    """D5 reference semantics (/root/reference/src/dag_schedule/
+    task.rs:209-221): a failed task still sends its outgoing edges, so
+    dependents run on partial data; the failure is still raised at the
+    end. Transitive chains release too."""
+    done = []
+
+    def boom(s):
+        raise ValueError("kaput")
+
+    g = TaskGraph()
+    g.add("bad", boom)
+    g.add("child", lambda s: done.append("child"), deps=("bad",))
+    g.add("grandchild", lambda s: done.append("grandchild"), deps=("child",))
+    with pytest.raises(RuntimeError, match="bad: ValueError"):
+        g.run(spark, max_workers=2, run_downstream_on_error=True)
+    assert done == ["child", "grandchild"]
+
+
 def test_two_concurrent_crawls_match_sequential(spark, tmp_path):
     """Two independent crawl pipelines on one SparkSession produce the
     same outputs as running them one after the other."""
