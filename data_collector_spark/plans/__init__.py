@@ -3,49 +3,79 @@ import data_collector_spark.plans.relational  # noqa: F401,E402
 import data_collector_spark.plans.training  # noqa: F401,E402
 import data_collector_spark.plans.crawl_queries  # noqa: F401,E402
 
-# The driver checks queries in registration order under a run budget, so
-# order defensively: the flagship crawl queries and the operators that had
-# no CORRECTNESS row in round 1 go first; the engine-extra grouping-set
-# queries (A9 — not in the reference) go last.
-_HEAD = [
-    "crawl_fetch_log",
-    "crawl_seen_set",
-    "st_tumbling_window",
-    "text_fingerprint",
-    "multimodal_meta",
-    "embedding_norm_stats",
-    "s7_idempotent_insert",
-    "s8_merge_upsert",
-    "u1_union_distinct",
-    "u2_except",
+# The driver checks at most 50 queries (registration order) per round, so
+# the driver-facing surface is this EXPLICIT 50-entry list covering every
+# applicable SURVEY.md §2 operator row plus every training-data operator —
+# no rotation, no eviction (VERDICT r2 task 1). Micro scalar-function
+# queries are folded into composed suites (f_dates/f_events/f_strings/
+# text_stats) whose fine-grained originals stay in QUERIES for the local
+# oracle-parity mirror (tests/test_oracle_parity.py runs EVERYTHING).
+DRIVER_EXPORT = [
+    # flagship stateful crawl: raw artifacts (rows-only) + the SQL-checkable
+    # invariant gate (triple-pass against constant zeros)
+    "crawl_fetch_log",          # S1-S5, W1-W5, R1-R6, D1-D9 composite
+    "crawl_seen_set",           # J5/S7 end-state
+    "crawl_invariants",         # hard gate: dup/seq/seen/accounting == 0
+    "st_tumbling_window",       # §2.11 streaming twin
+    "multimodal_meta",          # multimodal plumbing (mapInPandas)
+    "embedding_norm_stats",     # embedding stats (higher-order fns)
+    "s7_idempotent_insert",     # S7
+    "s8_merge_upsert",          # S8/S9/F4
+    "u1_union_distinct",        # U1
+    "u2_except",                # U2/A8
+    # training-data operators (dedup / similarity / text)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # the training-data operator suite next: if the driver's budget cuts a
-    # tail, it should land on relational rows that also carry engine-side
-    # pytest coverage (politeness/crawler suites), not on these
     "dedup_exact",
     "dedup_jaccard_words",
     "dedup_embedding_cosine",
     "dedup_ngram3_jaccard",
     "ann_cosine_topk",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_counts",
+    "text_stats_suite",         # lang-ID + quality + tokens + fingerprint + F16
     "training_filter_pipeline",
+    "training_split",
+    # relational §2 rows
+    "q1_pricing_summary",       # A-family flagship
+    "p1_validity_filter",       # P1/P2/P3/F15
+    "p4_flag_update",           # P4/P5/S6
+    "p6_case_routing",          # P6/F6
+    "f_strings_suite",          # F1+F11
+    "f_dates_suite",            # F2+F3+F5+F7+F10
+    "f_events_suite",           # F8+F9+F13
+    "f12_explode_words",        # F12/F14
+    "j1_inner_equijoin",
+    "j2_broadcast_dims",
+    "j3_semi_join",
+    "j4_expression_key_join",
+    "j5_anti_dedup_insert",
+    "j6_blocklist_anti",
+    "j7_guarded_update_join",
+    "j8_partition_pruned_join",
+    "j9_eligible_union_view",
+    "j10_asof_join",
+    "j11_range_join",
+    "a1_max_checkpoint",        # A1/A2/F2
+    "a3_max_per_key",
+    "a4_stale_key_having",
+    "a5_parity_membership",
+    "a7_distinct_keys",
+    "w1_wave_pop",
+    "w2_two_tier_priority",
+    "w3_sessionize",
+    "w4_daily_budget",          # R2
 ]
-_TAIL = ["pivot_event_type_counts", "cube_status_priority"]
 
+assert len(DRIVER_EXPORT) == 50, len(DRIVER_EXPORT)
+_missing = [n for n in DRIVER_EXPORT if n not in QUERIES]
+assert not _missing, f"DRIVER_EXPORT names not registered: {_missing}"
+# every exported query has a value oracle except the two raw crawl artifacts
+_no_oracle = [
+    n for n in DRIVER_EXPORT
+    if n not in ORACLES and n not in ("crawl_fetch_log", "crawl_seen_set")
+]
+assert not _no_oracle, f"driver-exported queries missing oracles: {_no_oracle}"
 
-def _reorder(d: dict) -> dict:
-    mid = [k for k in d if k not in _HEAD and k not in _TAIL]
-    ordered = [k for k in _HEAD if k in d] + mid + [k for k in _TAIL if k in d]
-    return {k: d[k] for k in ordered}
-
-
-_q, _o = _reorder(QUERIES), _reorder(ORACLES)
-QUERIES.clear()
-QUERIES.update(_q)
-ORACLES.clear()
-ORACLES.update(_o)
+DRIVER_QUERIES = {n: QUERIES[n] for n in DRIVER_EXPORT}
+DRIVER_ORACLES = {n: ORACLES[n] for n in DRIVER_EXPORT if n in ORACLES}

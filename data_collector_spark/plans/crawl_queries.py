@@ -82,3 +82,70 @@ def crawl_seen_set(spark: SparkSession, sf: str) -> DataFrame:
     """Final URL-seen set after two rounds (dedup invariant artifact)."""
     state = _run_doc_crawl(spark, sf, rounds=2)
     return state.read_all(spark, "seen").select("url_sha1", "url_canon")
+
+
+@query(
+    "crawl_invariants",
+    """
+    SELECT CAST(0 AS BIGINT) AS accounting_residual,
+           CAST(0 AS BIGINT) AS dup_fetched_urls,
+           CAST(0 AS BIGINT) AS seen_dup_urls,
+           CAST(0 AS BIGINT) AS seq_gap_hosts
+    """,
+)
+def crawl_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard driver gate for the stateful crawl (VERDICT r2 task 3): the
+    crawl itself is not SQL-expressible, but its INVARIANTS are — emit the
+    violation counts and oracle them against constant zero. Mirrors the
+    reference's end-to-end DB assertions
+    (/root/reference/tests/application_tests.rs:64-125).
+
+    - dup_fetched_urls: a URL fetched more than once (seen-set / Bloom
+      no-false-negative guarantee)
+    - seq_gap_hosts: a (round, host) whose request sequence is not a
+      contiguous 1..n (politeness wave-ordering lineage)
+    - seen_dup_urls: duplicate enqueue into the seen set (ON CONFLICT
+      DO NOTHING semantics, S7/J5)
+    - accounting_residual: sum over rounds of |frontier_{n+1} rows -
+      (deferred + enqueued + held + retried + recrawled)_n| (the frontier
+      accounting identity)
+    """
+    state = _run_doc_crawl(spark, sf, rounds=2)
+    log = state.read_all(spark, "fetch_log")
+    seen = state.read_all(spark, "seen")
+
+    dup_fetched = (
+        log.filter(F.col("status") == "fetched")
+        .groupBy("url_sha1").count().filter("count > 1").count()
+    )
+    seq_gaps = (
+        log.filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("round", "host")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("seq_in_host").alias("lo"),
+            F.max("seq_in_host").alias("hi"),
+        )
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    seen_dups = seen.groupBy("url_sha1").count().filter("count > 1").count()
+
+    frontier_rows = {
+        r["round"]: r["n"]
+        for r in state.read_all(spark, "frontier")
+        .groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    residual = 0
+    for rm in (state.read() or {}).get("rounds", []):
+        expected = (
+            rm["deferred_by_politeness"] + rm["enqueued"] + rm["held_by_backoff"]
+            + rm["retried"] + rm["recrawled"]
+        )
+        residual += abs(frontier_rows.get(rm["round"] + 1, 0) - expected)
+
+    return spark.createDataFrame(
+        [(residual, dup_fetched, seen_dups, seq_gaps)],
+        "accounting_residual long, dup_fetched_urls long, "
+        "seen_dup_urls long, seq_gap_hosts long",
+    )

@@ -344,6 +344,97 @@ def f16_content_hash(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Composed scalar-function suites — one driver CORRECTNESS row covering
+# several §2 F-rows each (VERDICT r2 task 1: fit the 50-row budget without
+# dropping operator coverage). The fine-grained single-operator queries
+# above stay registered for the local parity mirror; only these composed
+# forms are exported to the driver.
+# ---------------------------------------------------------------------------
+@query(
+    "f_dates_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS year_month,
+           coalesce(nullif(o_orderstatus, 'O'), nullif(o_orderpriority, '5-LOW'), 'none') AS first_non_default,
+           CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus_week,
+           CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 24 MONTH AS DATE) AS TIMESTAMP) AS back_24m,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS rt_date
+    FROM orders
+    """,
+)
+def f_dates_suite(spark, sf):
+    """F3+F5+F7+F10 in one scan: derived partition key, first-non-null
+    chain, date arithmetic, string<->date round-trip (citations on the
+    individual queries above)."""
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("year_month"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")),
+            F.lit("none"),
+        ).alias("first_non_default"),
+        F.date_add(d, 7).cast("timestamp").alias("plus_week"),
+        F.add_months(d, -24).cast("timestamp").alias("back_24m"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd")
+        .cast("timestamp")
+        .alias("rt_date"),
+    )
+
+
+@query(
+    "f_events_suite",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN value IS NULL AND user_id = 0 THEN 0.0 ELSE value END AS value_imputed,
+           CAST(ceil(count(*) OVER (PARTITION BY user_id) / 10.0) AS BIGINT) AS pages_available
+    FROM events
+    """,
+)
+def f_events_suite(spark, sf):
+    """F8+F9+F13 in one scan: ceil(n/page_size) pagination (as a per-key
+    window), JSON parse into typed columns, pairwise zero imputation."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.when(F.col("value").isNull() & (F.col("user_id") == 0), F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("value_imputed"),
+        F.ceil(F.count("*").over(w) / 10.0).cast("long").alias("pages_available"),
+    )
+
+
+@query(
+    "f_strings_suite",
+    """
+    SELECT c_custkey,
+           replace(c_name, '#', '-') AS norm_name,
+           try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           try_cast(c_mktsegment AS BIGINT) AS seg_num
+    FROM customer
+    """,
+)
+def f_strings_suite(spark, sf):
+    """F1+F11 in one scan: replace() key normalization and try-cast->NULL
+    string parsing."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "#", "-").alias("norm_name"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).try_cast("long").alias("name_num"),
+        F.col("c_mktsegment").try_cast("long").alias("seg_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J: joins
 # ---------------------------------------------------------------------------
 @query(

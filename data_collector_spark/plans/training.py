@@ -505,6 +505,51 @@ def text_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
+@query(
+    "text_stats_suite",
+    r"""
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           round(0.5 * least(1.0, n_tokens / 50.0)
+                 + 0.5 * least(1.0, 4.0 * CASE WHEN n_tokens > 0
+                                               THEN stop / n_tokens
+                                               ELSE 0.0 END), 4) AS quality,
+           CAST(n_tokens AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_ish,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           sha256(text) AS text_sha
+    FROM (SELECT doc_id, text,
+                 len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+                 len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS de,
+                 len(regexp_extract_all(text, '\b(le|et|la|les)\b')) AS fr,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END * 1.0 AS n_tokens,
+                 len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) * 1.0 AS stop
+          FROM documents) s
+    """,
+)
+def text_stats_suite(spark, sf):
+    """The full per-document text-analysis pass in ONE scan — lang-ID,
+    quality, token counts, fingerprint (the four queries above) plus the
+    F16 content hash — the shape a 100 TB corpus pass actually runs (every
+    column fused into a single codegen projection, one scan not five).
+    One composed driver CORRECTNESS row covers all five operators."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        lang_id_col(t).alias("lang_pred"),
+        quality_score_col(t).alias("quality"),
+        token_count_col(t).alias("n_ws_tokens"),
+        bpe_ish_count_col(t).alias("n_bpe_ish"),
+        fingerprint_col(t).alias("fp"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
