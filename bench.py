@@ -169,26 +169,40 @@ def main() -> None:
         "total_wall_sec": total,
         "urls_per_sec_per_core": round(crawl["urls_per_sec"] / cpus, 2),
     }
-    # surface the recorded N-vs-4N evidence (scripts/bench_scaling.py —
-    # too long to rerun per bench invocation) next to the headline
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "SCALING_r02.json")
-    if os.path.exists(scaling_path):
+    # surface the newest recorded N-vs-4N evidence (scripts/bench_scaling.py
+    # — too long to rerun per bench invocation) next to the headline
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifacts = sorted(glob.glob(os.path.join(here, "SCALING_r*.json")))
+    if artifacts:
+        scaling_path = artifacts[-1]
         with open(scaling_path) as f:
             s = json.load(f)
         runs = [s.get("calibrated_run"), s.get("post_hardening_run")]
         runs = [r for r in runs if r]
-        out["scaling"] = {
-            "artifact": "SCALING_r02.json",
-            "raw_efficiency": [r["scaling_efficiency"] for r in runs],
-            "hw_kernel_efficiency": [
-                r["hw_calibration"]["hw_efficiency"] for r in runs
-            ],
-            "engine_relative_efficiency": [
-                r["engine_relative_efficiency"] for r in runs
-            ],
-            "pass": all(r["pass"] for r in runs),
-        }
+        if runs:
+            out["scaling"] = {
+                "artifact": os.path.basename(scaling_path),
+                "raw_efficiency": [r["scaling_efficiency"] for r in runs],
+                "hw_kernel_efficiency": [
+                    r["hw_calibration"]["hw_efficiency"] for r in runs
+                ],
+                "engine_relative_efficiency": [
+                    r["engine_relative_efficiency"] for r in runs
+                ],
+                # raw grades this box (shared-DRAM ceiling); calibrated
+                # grades the engine against that measured ceiling — kept
+                # separate per ADVICE r2, never OR-ed
+                "pass_raw": all(
+                    r.get("pass_raw", r.get("pass", False)) for r in runs
+                ),
+                "pass_calibrated": all(
+                    r.get("pass_calibrated",
+                          r.get("engine_relative_efficiency", 0) >= 0.8)
+                    for r in runs
+                ),
+            }
     print(json.dumps(out))
 
 

@@ -71,6 +71,10 @@ class CrawlConfig:
     # window, resetting at the window boundary; 0 disables
     daily_budget: int = 0
     rounds_per_day: int = 0
+    # R4 key rotation (/root/reference/src/api_keys/key_manager.rs:25-49):
+    # k sub-budgets of budget_per_round each per host; the wave drains pool
+    # 1, rotates on exhaustion, and tags rows with pool_id. 1 = single key
+    budget_pools: int = 1
     # wave-size gate for the fetch/dead broadcasts: above this the joins
     # run as shuffle joins (at cluster scale: storage-partitioned joins on
     # the Iceberg bucket(url_canon) layout) instead of multi-GB broadcasts
@@ -208,7 +212,8 @@ def run_crawl(
         backlog (bounded-budget hosts) doesn't flip the broadcast gate off
         and shuffle the pages corpus. 1.25x covers approx_count_distinct
         error on the per-round host figure."""
-        return min(frontier_rows, int(1.25 * frontier_hosts * budget_spec.bmax) + 1)
+        bmax_eff = budget_spec.bmax * max(cfg.budget_pools, 1)
+        return min(frontier_rows, int(1.25 * frontier_hosts * bmax_eff) + 1)
     # structured span trace next to the checkpoint (telemetry.rs analog)
     events = EventLog(os.path.join(workdir, "events.jsonl"))
     events.emit(
@@ -231,6 +236,7 @@ def run_crawl(
                 retry_backoff_step=cfg.retry_backoff_step,
                 daily_budget=cfg.daily_budget,
                 rounds_per_day=cfg.rounds_per_day,
+                budget_pools=cfg.budget_pools,
                 est_wave_rows=wave_bound(),
                 wave_broadcast_max_rows=cfg.wave_broadcast_max_rows,
                 pages_partitions=pages_partitions,

@@ -186,6 +186,7 @@ def run_round(
     retry_backoff_step: int = 1,
     daily_budget: int = 0,
     rounds_per_day: int = 0,
+    budget_pools: int = 1,
     est_wave_rows: int | None = None,
     wave_broadcast_max_rows: int = 5_000_000,
     pages_partitions: int | None = None,
@@ -239,7 +240,7 @@ def run_round(
     wave, deferred = pop_wave_spec(
         allowed, budget_spec, skew_salt,
         host_caps=host_caps, default_remaining=daily_budget,
-        daily_cap=daily_budget,
+        daily_cap=daily_budget, pools=budget_pools,
     )
     wave = wave.persist()
     mark("pop_wave")

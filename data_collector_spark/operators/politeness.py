@@ -82,6 +82,7 @@ def pop_wave_spec(
     host_caps: DataFrame | None = None,
     default_remaining: int = 0,
     daily_cap: int = 0,
+    pools: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (wave with seq_in_host, deferred). Deterministic given the inputs.
 
@@ -94,6 +95,14 @@ def pop_wave_spec(
     additionally clamped to the daily allowance even when ``host_caps`` is
     None — the first round of a window has no spend table yet, and a
     per-round budget larger than the daily one must not leak through.
+
+    pools: R4 key rotation (/root/reference/src/api_keys/key_manager.rs:
+    25-49 — several API keys per provider, exchanged on exhaustion). Each
+    host gets ``pools`` sub-budgets of ``budget_per_round`` each; the wave
+    drains pool 1 first, rotates to pool 2 on exhaustion, and so on — so
+    the effective per-round budget is pools x per_round and every wave row
+    carries ``pool_id`` (which key served it). pools=1 leaves the plan and
+    output schema untouched.
     """
     f = frontier
     if spec.bdf is not None:
@@ -102,6 +111,10 @@ def pop_wave_spec(
         ).drop("budget_per_round")
     else:
         f = f.withColumn("_budget", F.lit(spec.default_budget))
+    if pools > 1:
+        f = f.withColumn("_pool_budget", F.col("_budget")).withColumn(
+            "_budget", F.col("_budget") * pools
+        )
     if daily_cap > 0:
         f = f.withColumn("_budget", F.least("_budget", F.lit(daily_cap)))
     if host_caps is not None:
@@ -115,19 +128,28 @@ def pop_wave_spec(
 
     order = [F.col(c).asc() for c in ORDER_COLS]
     out_cols = list(frontier.columns)
+    bmax_eff = spec.bmax * max(pools, 1)
 
     # stage 1: salted pre-trim bounds window-partition size under skew
     salted = f.withColumn("_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(skew_salt)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     staged1 = salted.withColumn("_rn1", F.row_number().over(w1))
-    cand = staged1.filter(F.col("_rn1") <= spec.bmax).drop("_rn1", "_salt")
-    trimmed1 = staged1.filter(F.col("_rn1") > spec.bmax)
+    cand = staged1.filter(F.col("_rn1") <= bmax_eff).drop("_rn1", "_salt")
+    trimmed1 = staged1.filter(F.col("_rn1") > bmax_eff)
 
     # stage 2: exact per-host rank over the bounded candidate set
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = cand.withColumn("seq_in_host", F.row_number().over(w2))
     wave = ranked.filter(F.col("seq_in_host") <= F.col("_budget")).drop("_budget")
     trimmed2 = ranked.filter(F.col("seq_in_host") > F.col("_budget"))
+    if pools > 1:
+        # key rotation: requests 1..b served by pool 1, b+1..2b by pool 2…
+        wave = wave.withColumn(
+            "pool_id",
+            (1 + F.floor((F.col("seq_in_host") - 1) / F.col("_pool_budget")))
+            .cast("int"),
+        ).drop("_pool_budget")
+        trimmed2 = trimmed2.drop("_pool_budget")
 
     deferred = trimmed1.select(*out_cols).unionByName(trimmed2.select(*out_cols))
     return wave, deferred

@@ -837,6 +837,34 @@ def w4_daily_budget(spark, sf):
 
 
 @query(
+    "w5_budget_pools",
+    """
+    SELECT event_id, user_id, rn, CAST(ceil(rn / 3.0) AS BIGINT) AS key_id
+    FROM (SELECT event_id, user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) t
+    WHERE rn <= 6
+    """,
+)
+def w5_budget_pools(spark, sf):
+    """R4 key rotation as a windowed query (/root/reference/src/api_keys/
+    key_manager.rs:25-49): two keys of 3 requests each per user — the first
+    six requests per key-ordered window, tagged with which pool served
+    them (drain pool 1, rotate on exhaustion). The crawl engine's live
+    form is CrawlConfig.budget_pools (politeness.pop_wave_spec(pools=k))."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 6)
+        .select(
+            "event_id", "user_id", "rn",
+            F.ceil(F.col("rn") / 3.0).cast("long").alias("key_id"),
+        )
+    )
+
+
+@query(
     "j10_asof_join",
     """
     WITH snaps0 AS (

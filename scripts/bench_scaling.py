@@ -237,7 +237,7 @@ print("GENDONE")
         "level_b": b,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass_raw": eff >= 0.8,
     }
     if not args.no_calibrate:
         # hardware ceiling for this workload class on this box: the same
@@ -252,10 +252,18 @@ print("GENDONE")
             "kernel": "extract_text+links, pure multiprocessing",
             "rate_a": round(ca, 0), "rate_b": round(cb, 0),
             "hw_efficiency": round(hw_eff, 3),
+            # coverage limit: the kernel exercises the Arrow/pandas extract
+            # hot loop only — no shuffle, parquet IO, or JVM work — so on a
+            # workload with lighter memory pressure the true ceiling may be
+            # higher than this measures; read pass_calibrated accordingly
+            "covers": "memory-bus ceiling of the extract hot loop only",
         }
         rel = eff / hw_eff if hw_eff > 0 else 0.0
         result["engine_relative_efficiency"] = round(rel, 3)
-        result["pass"] = eff >= 0.8 or rel >= 0.8
+        # ADVICE r2: never OR the two verdicts into one 'pass' — the raw
+        # number grades this box (shared DRAM, SMT), the calibrated one
+        # grades the engine against the box's measured ceiling
+        result["pass_calibrated"] = rel >= 0.8
     print(json.dumps(result, indent=1))
 
 

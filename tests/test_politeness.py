@@ -160,3 +160,58 @@ def test_daily_budget_caps_first_round_of_window(spark, tmp_path):
     # window 1 (rounds 0-1): clamp 6->4 then 0 remaining;
     # window 2 (rounds 2-3): reset -> 4 then 0
     assert [per_round.get(n, 0) for n in range(4)] == [4, 0, 4, 0]
+
+
+def test_budget_pools_rotate_on_exhaustion(spark):
+    """R4 (/root/reference/src/api_keys/key_manager.rs:25-49): k pools of
+    budget_per_round each — wave size is k x budget, pool 1 drains before
+    pool 2 starts, and no pool serves more than its sub-budget."""
+    from data_collector_spark.operators.politeness import compile_budgets, pop_wave_spec
+
+    f = make_frontier(spark, n=300, hosts=6)
+    spec = compile_budgets(spark, budgets_df(spark, [("", 3), ("h0.test", 2)]))
+    wave, deferred = pop_wave_spec(f, spec, pools=2)
+    rows = wave.collect()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append((r["seq_in_host"], r["pool_id"]))
+    for host, pairs in per_host.items():
+        pairs.sort()
+        b = 2 if host == "h0.test" else 3
+        assert len(pairs) == 2 * b  # k x budget requests per round
+        # rotation: first b requests on pool 1, next b on pool 2
+        assert [p for _, p in pairs] == [1] * b + [2] * b
+    # conservation still holds
+    assert wave.count() + deferred.count() == f.count()
+    # pools=1 leaves the schema untouched
+    w1, _ = pop_wave_spec(f, spec, pools=1)
+    assert "pool_id" not in w1.columns
+
+
+def test_budget_pools_crawl_fetches_k_times_budget(spark, tmp_path):
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import synth_pages
+
+    corpus_dir = str(tmp_path / "pool_corpus")
+    synth_pages(spark, 12, n_hosts=1, links_per_page=2, dead_frac=0.0,
+                partitions=1).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).withColumn(
+        "priority", F.lit(0)
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 2)], "host string, budget_per_round int")
+    run_crawl(
+        spark, str(tmp_path / "pool_wd"), pages, seeds, robots, budgets,
+        CrawlConfig(max_rounds=2, default_budget=2, budget_pools=3),
+    )
+    state = CrawlState(str(tmp_path / "pool_wd"))
+    per_round = {
+        r["round"]: r["n"]
+        for r in state.read_all(spark, "fetch_log")
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    # 3 pools x 2/round = 6 requests against the single host each round
+    assert per_round[0] == 6
