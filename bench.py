@@ -84,8 +84,15 @@ def bench_crawl(spark, sf_dir: str, rounds: int, budget: int) -> dict:
     n_urls = int(os.environ.get("DCS_BENCH_URLS", "200000"))
     n_hosts = int(os.environ.get("DCS_BENCH_HOSTS", "1000"))
     n_seeds = int(os.environ.get("DCS_BENCH_SEEDS", "50000"))
-    corpus_dir = tempfile.mkdtemp(prefix="dcs_bench_corpus_")
-    workdir = tempfile.mkdtemp(prefix="dcs_bench_wd_")
+    # corpus + checkpoint live on tmpfs like the shuffle dirs: /tmp is one
+    # virtio disk whose dirty-page writeback stalls later rounds (measured
+    # 12k<->20k urls/s swings; same trap BENCH.md documents for
+    # spark.local.dir). Cluster analog: object store + page cache.
+    scratch = os.environ.get(
+        "DCS_BENCH_SCRATCH", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    corpus_dir = tempfile.mkdtemp(prefix="dcs_bench_corpus_", dir=scratch)
+    workdir = tempfile.mkdtemp(prefix="dcs_bench_wd_", dir=scratch)
     try:
         synth_pages(
             spark, n_urls, n_hosts=n_hosts, links_per_page=8, partitions=64
@@ -94,7 +101,7 @@ def bench_crawl(spark, sf_dir: str, rounds: int, budget: int) -> dict:
 
         # untimed JIT/python-worker warmup (cluster analog: long-running
         # executors); same methodology as scripts/bench_scaling.py
-        warm_wd = tempfile.mkdtemp(prefix="dcs_bench_warm_")
+        warm_wd = tempfile.mkdtemp(prefix="dcs_bench_warm_", dir=scratch)
         try:
             wpages = synth_pages(spark, 4000, n_hosts=20, links_per_page=4,
                                  partitions=32)
