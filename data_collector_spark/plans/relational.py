@@ -890,8 +890,15 @@ def j10_asof_join(spark, sf):
     the composition pattern Spark lacks natively: union both sides tagged,
     ONE per-key ordered window carrying the snapshot forward with
     last_value(ignoreNulls) — a single shuffle on the join key, no range
-    explosion, skew handled like any window (cf. the politeness salt).
-    Oracle: DuckDB's native ASOF LEFT JOIN.
+    explosion. Skew note: the carried window sorts one partition per user
+    key, so a pathologically hot key serializes in one task. The salt
+    remedy mirrors the politeness pop (politeness.py stage 1): add
+    time-bucket sub-keys — window over (user, bucket) carrying each
+    bucket's last snapshot, then a tiny per-(user, bucket) boundary table
+    (one row per bucket) carries state across buckets; both stages stay
+    bounded at ~|key|/buckets rows. Not wired here because the frontier
+    of a single user is bounded at current data — apply when key
+    cardinality skews. Oracle: DuckDB's native ASOF LEFT JOIN.
     """
     ev = _t(spark, sf, "events")
     snaps = (

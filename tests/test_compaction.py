@@ -73,6 +73,49 @@ def test_long_crawl_compaction_twin_and_bounded_files(spark, tmp_path):
     assert _snapshot(spark, str(tmp_path / "a")) == _snapshot(spark, str(tmp_path / "b"))
 
 
+def test_compaction_crash_windows_leave_table_readable(spark, tmp_path):
+    """The two crash windows around the manifest commit:
+    (a) base@K written but manifest NOT updated -> the new base is ignored,
+        reads come from the round dirs exactly as before;
+    (b) manifest updated but superseded round dirs NOT yet deleted -> the
+        stale dirs are filtered out by the manifest, no double-counting."""
+    pages = _mk_corpus(spark, tmp_path, "cc")
+    seeds, robots, budgets = _inputs(spark, pages)
+    wd = str(tmp_path / "wdc")
+    run_crawl(spark, wd, pages, seeds, robots, budgets,
+              CrawlConfig(max_rounds=4, default_budget=3))
+    st = CrawlState(wd)
+    before = sorted(
+        (r["round"], r["url_sha1"], r["status"])
+        for r in st.read_all(spark, "fetch_log").collect()
+    )
+
+    # (a) write the base dir exactly as compact() would, but "crash" before
+    # the manifest commit
+    from pyspark.sql import functions as F2
+
+    df = st.read_all(spark, "fetch_log").filter(F2.col("round") <= 3)
+    df.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(wd, "fetch_log", "base@3")
+    )
+    assert st.compacted_upto("fetch_log") is None
+    mid = sorted(
+        (r["round"], r["url_sha1"], r["status"])
+        for r in st.read_all(spark, "fetch_log").collect()
+    )
+    assert mid == before
+
+    # (b) commit the manifest level but leave the superseded dirs in place
+    stt = st.read()
+    stt.setdefault("compacted", {})["fetch_log"] = 3
+    st._write_manifest(stt)
+    after = sorted(
+        (r["round"], r["url_sha1"], r["status"])
+        for r in st.read_all(spark, "fetch_log").collect()
+    )
+    assert after == before  # base used, stale round dirs ignored — no dupes
+
+
 def test_compact_is_idempotent_and_read_round_survives(spark, tmp_path):
     pages = _mk_corpus(spark, tmp_path, "c2")
     seeds, robots, budgets = _inputs(spark, pages)
