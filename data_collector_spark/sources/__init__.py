@@ -6,3 +6,8 @@ from data_collector_spark.sources.generator import (  # noqa: F401
     pages_from_documents,
 )
 from data_collector_spark.sources.tables import load_table, TABLES  # noqa: F401
+from data_collector_spark.sources.warc import (  # noqa: F401
+    pages_from_warc,
+    read_warc,
+    write_warc,
+)

@@ -50,3 +50,68 @@ def test_no_rules_passthrough(spark):
     f = fdf(spark, ["http://a.test/x"])
     allowed, blocked = split_robots(f, robots)
     assert allowed.count() == 1 and blocked.count() == 0
+
+
+def test_parse_robots_txt_groups_and_prefixes(spark):
+    from data_collector_spark.operators.robots import parse_robots_txt
+
+    txt = "\r\n".join([
+        "# global rules",
+        "User-agent: *",
+        "Disallow: /private/",
+        "Disallow:",               # empty disallow = allow-all, no rule
+        "Disallow: /tmp:colon/",   # value containing ':'
+        "",
+        "User-agent: googlebot",
+        "User-agent: dcs-bot",     # OR-ed into the same group
+        "Disallow: /bot-only/",
+        "",
+        "User-agent: otherbot",
+        "Disallow: /other/",
+        "Sitemap: http://h.test/sitemap.xml",
+    ])
+    df = spark.createDataFrame([("h.test", txt)], "host string, robots_txt string")
+    star = {r["path_prefix"] for r in parse_robots_txt(df, agent="*").collect()}
+    assert star == {"/private/", "/tmp:colon/"}
+    bot = {r["path_prefix"] for r in parse_robots_txt(df, agent="dcs-bot").collect()}
+    # a specific agent matches both its own group and the '*' group
+    assert bot == {"/private/", "/tmp:colon/", "/bot-only/"}
+    other = {r["path_prefix"] for r in parse_robots_txt(df, agent="otherbot").collect()}
+    assert other == {"/private/", "/tmp:colon/", "/other/"}
+
+
+def test_parse_robots_txt_feeds_split_robots(spark):
+    from data_collector_spark.operators.robots import parse_robots_txt, split_robots
+
+    txt = "User-agent: *\nDisallow: /blocked/"
+    rules = parse_robots_txt(
+        spark.createDataFrame([("h0.test", txt)], "host string, robots_txt string")
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://h0.test/blocked/a", "h0.test"),
+            ("http://h0.test/ok/a", "h0.test"),
+            ("http://h1.test/blocked/a", "h1.test"),
+        ],
+        "url_canon string, host string",
+    )
+    allowed, blocked = split_robots(frontier, rules)
+    assert {r["url_canon"] for r in blocked.collect()} == {"http://h0.test/blocked/a"}
+    assert allowed.count() == 2
+
+
+def test_parse_robots_txt_whole_host_block(spark):
+    from data_collector_spark.operators.robots import parse_robots_txt, split_robots
+
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("h0.test", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+    )
+    frontier = spark.createDataFrame(
+        [("http://h0.test/anything", "h0.test"), ("http://h0.test/", "h0.test")],
+        "url_canon string, host string",
+    )
+    allowed, blocked = split_robots(frontier, rules)
+    assert allowed.count() == 0 and blocked.count() == 2
