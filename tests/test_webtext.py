@@ -1,0 +1,120 @@
+"""Crawl -> training-set bridge: determinism, dedup/filter invariants,
+latest-capture selection under recrawl."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+from data_collector_spark.crawler.state import CrawlState
+from data_collector_spark.crawler.webtext import build_training_set, latest_pages
+from data_collector_spark.sources.generator import synth_pages
+
+
+@pytest.fixture(scope="module")
+def crawl_wd(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("webtext")
+    corpus_dir = str(tmp / "corpus")
+    synth_pages(spark, 300, n_hosts=6, links_per_page=4, partitions=2,
+                min_words=20, max_words=200).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).orderBy("url").limit(
+        20
+    ).withColumn("priority", F.lit(0))
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 40)], "host string, budget_per_round int")
+    wd = str(tmp / "wd")
+    run_crawl(spark, wd, pages, seeds, robots, budgets,
+              CrawlConfig(max_rounds=3, default_budget=40))
+    return wd
+
+
+def test_training_set_invariants(spark, crawl_wd):
+    ts = build_training_set(spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1)
+    rows = ts.collect()
+    assert rows, "empty training set from a 300-page crawl"
+    # every survivor passes its own recorded features
+    for r in rows:
+        assert r["lang_pred"] in ("en", "und")
+        assert r["n_tok"] >= 1
+        assert r["split"] in ("train", "val")
+    # exact-dup free: texts unique
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # ids unique
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_training_set_deterministic(spark, crawl_wd):
+    a = sorted(
+        (r["doc_id"], r["split"])
+        for r in build_training_set(spark, crawl_wd, lang=None, min_quality=0.0).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in build_training_set(spark, crawl_wd, lang=None, min_quality=0.0).collect()
+    )
+    assert a == b
+
+
+def test_split_is_pure_function_of_id(spark, crawl_wd):
+    """Tightening filters must not move any surviving doc across splits
+    (hash membership depends on the id alone, not the surviving set)."""
+    loose = {
+        r["doc_id"]: r["split"]
+        for r in build_training_set(spark, crawl_wd, lang=None, min_quality=0.0).collect()
+    }
+    tight = {
+        r["doc_id"]: r["split"]
+        for r in build_training_set(spark, crawl_wd, lang=None, min_quality=0.3).collect()
+    }
+    assert set(tight) <= set(loose)
+    for k, v in tight.items():
+        assert loose[k] == v
+
+
+def test_near_dup_stage_toggles(spark, crawl_wd):
+    with_nd = build_training_set(spark, crawl_wd, lang=None, min_quality=0.0).count()
+    without = build_training_set(
+        spark, crawl_wd, lang=None, min_quality=0.0, near_dup_threshold=0
+    ).count()
+    assert with_nd <= without
+
+
+def test_latest_capture_wins_under_recrawl(spark, tmp_path):
+    """A url re-fetched by the recrawl warden contributes its NEWEST
+    round's text exactly once."""
+    corpus_dir = str(tmp_path / "rc_corpus")
+    synth_pages(spark, 12, n_hosts=2, links_per_page=2, dead_frac=0.0,
+                partitions=1).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).withColumn(
+        "priority", F.lit(0)
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 50)], "host string, budget_per_round int")
+    wd = str(tmp_path / "rc_wd")
+    run_crawl(spark, wd, pages, seeds, robots, budgets,
+              CrawlConfig(max_rounds=5, default_budget=50,
+                          recrawl_ttl_rounds=2))
+    state = CrawlState(wd)
+    # recrawl fetched every url at least twice...
+    per_url = (
+        state.read_all(spark, "pages_out").groupBy("url_sha1").count()
+    )
+    assert per_url.filter("count >= 2").count() == 12
+    # ...but latest_pages emits each exactly once, from the newest round
+    lp = latest_pages(spark, state)
+    assert lp.count() == 12
+    newest = (
+        state.read_all(spark, "pages_out")
+        .groupBy("url_sha1").agg(F.max("round").alias("r"))
+    )
+    joined = (
+        state.read_all(spark, "pages_out")
+        .join(newest, "url_sha1")
+        .filter(F.col("round") == F.col("r"))
+        .select("url_sha1", F.col("extracted_text").alias("want"))
+        .join(lp.select(F.col("doc_id").alias("url_sha1"), "text"), "url_sha1")
+    )
+    assert joined.filter(F.col("want") != F.col("text")).count() == 0
