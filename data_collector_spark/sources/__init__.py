@@ -11,3 +11,7 @@ from data_collector_spark.sources.warc import (  # noqa: F401
     read_warc,
     write_warc,
 )
+from data_collector_spark.sources.sitemap import (  # noqa: F401
+    parse_sitemap,
+    seeds_from_sitemaps,
+)

@@ -34,10 +34,22 @@ def main() -> None:
                     help="overlay YAML/JSON merged over --config "
                          "(DCS__* env vars layer on top of both)")
     ap.add_argument("--pages", help="pages parquet (input_hint schema)")
+    ap.add_argument("--pages-warc", action="store_true",
+                    help="--pages points at WARC segment files instead of parquet")
     ap.add_argument("--workdir")
     ap.add_argument("--seeds", help="seeds parquet with (url, priority)")
+    ap.add_argument("--seeds-sitemap",
+                    help="seeds from sitemap.xml file(s) (text glob) instead")
     ap.add_argument("--seed-sample", type=int, default=0,
                     help="no seeds file: take N urls from pages as seeds")
+    ap.add_argument("--training-set",
+                    help="after the crawl, run the webtext bridge (exact + "
+                         "MinHash dedup, filters, hash split) and write the "
+                         "corpus parquet here")
+    ap.add_argument("--lang", default=None,
+                    help="language filter for --training-set (default: keep all)")
+    ap.add_argument("--min-quality", type=float, default=0.5,
+                    help="quality floor for --training-set")
     ap.add_argument("--robots", help="robots parquet (host, path_prefix)")
     ap.add_argument("--budgets", help="budgets parquet (host, budget_per_round)")
     ap.add_argument("--rounds", type=int, default=5)
@@ -76,11 +88,21 @@ def main() -> None:
 
     if not args.pages or not args.workdir:
         raise SystemExit("need --config or both --pages and --workdir")
-    pages = spark.read.parquet(args.pages)
+    if args.pages_warc:
+        from data_collector_spark.sources.warc import pages_from_warc
+
+        pages = pages_from_warc(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     if "url_canon" not in pages.columns:
         pages = with_canonical_url(pages).drop("url_sha1", "host")
 
-    if args.seeds:
+    if args.seeds_sitemap:
+        from data_collector_spark.sources.sitemap import seeds_from_sitemaps
+
+        xml = spark.read.text(args.seeds_sitemap, wholetext=True)
+        seeds = seeds_from_sitemaps(xml.withColumnRenamed("value", "sitemap_xml"))
+    elif args.seeds:
         seeds = spark.read.parquet(args.seeds)
     elif args.seed_sample:
         seeds = (
@@ -107,7 +129,17 @@ def main() -> None:
         spark, args.workdir, pages, seeds, robots, budgets,
         CrawlConfig(max_rounds=args.rounds, default_budget=args.budget),
     )
-    print(json.dumps({"rounds": [m.as_dict() for m in metrics]}, indent=1))
+    out = {"rounds": [m.as_dict() for m in metrics]}
+    if args.training_set:
+        from data_collector_spark.crawler.webtext import build_training_set
+
+        ts = build_training_set(
+            spark, args.workdir, lang=args.lang, min_quality=args.min_quality
+        ).persist()
+        ts.write.mode("overwrite").partitionBy("split").parquet(args.training_set)
+        out["training_set"] = {"path": args.training_set, "rows": ts.count()}
+        ts.unpersist()
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
