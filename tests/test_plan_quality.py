@@ -151,3 +151,47 @@ def test_fetch_scan_prunes_corpus_columns(spark, tmp_path):
     assert "html" in read_schema and "warc_ts" in read_schema
     assert "text" not in read_schema and "lang" not in read_schema
     assert "PushedFilters" in p and "IsNotNull(url_canon)" in p
+
+
+def test_composed_suites_stay_jvm_side_and_prune(spark, sf_dir):
+    """The r3 composed driver suites are single-scan, codegen-only plans
+    with exact column pruning — one ReadSchema carrying only the used
+    columns, no Python nodes anywhere."""
+    expected_read = {
+        "f_dates_suite": ["o_orderkey", "o_orderstatus", "o_orderdate",
+                          "o_orderpriority"],
+        "f_events_suite": ["event_id", "user_id", "value", "props"],
+        "f_strings_suite": ["c_custkey", "c_name", "c_mktsegment"],
+        "text_stats_suite": ["doc_id", "text"],
+    }
+    for name, cols in expected_read.items():
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        assert "PythonUDF" not in p and "ArrowEvalPython" not in p, name
+        read_schema = p.split("ReadSchema", 1)[1].split("\n", 1)[0]
+        for c in cols:
+            assert c in read_schema, f"{name}: {c} missing from scan"
+        # nothing beyond the expected columns is read (flat schemas: one
+        # comma between fields inside the struct<...>)
+        n_fields = read_schema.split("<", 1)[1].count(",") + 1
+        assert n_fields == len(cols), f"{name}: scan reads {read_schema}"
+
+
+def test_robots_txt_parser_is_codegen(spark):
+    from data_collector_spark.operators.robots import parse_robots_txt
+
+    df = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    p = plan_of(parse_robots_txt(df))
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+
+
+def test_sitemap_parser_is_codegen(spark):
+    from data_collector_spark.sources.sitemap import seeds_from_sitemaps
+
+    df = spark.createDataFrame(
+        [("<url><loc>http://h.test/a</loc></url>",)], "sitemap_xml string"
+    )
+    p = plan_of(seeds_from_sitemaps(df))
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
