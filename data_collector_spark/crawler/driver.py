@@ -51,6 +51,11 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits: int = 1 << 22
     bloom_k: int = 7
+    # approximate seen-set structure: "bloom" (append-only, smallest) or
+    # "cuckoo" (same contract + delete_df for purge/forget-and-recrawl
+    # workflows; operators/cuckoo.py)
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 16
     # D6 retry-with-backoff (/root/reference/src/dag_schedule/task.rs:263-329):
     # a dead URL is re-enqueued up to retry_max times; the family selects
     # the next-eligible round, mirroring the reference's BackoffMode:
@@ -92,16 +97,27 @@ class CrawlConfig:
     # read_all's per-round file-listing cost over long crawls; 0 = never
     compact_every_rounds: int = 0
 
-    def make_bloom(self) -> ShardedBloom | None:
+    def make_bloom(self):
         if not self.use_bloom:
             return None
+        if self.seen_filter == "cuckoo":
+            from data_collector_spark.operators.cuckoo import ShardedCuckoo
+
+            return ShardedCuckoo(self.bloom_shards, self.cuckoo_buckets)
         return ShardedBloom(self.bloom_shards, self.bloom_bits, self.bloom_k)
 
-    def load_bloom(self, dirpath: str) -> ShardedBloom | None:
+    def load_bloom(self, dirpath: str):
         if not self.use_bloom:
             return None
         # file-backed mode keeps the driver bitmap-free: validate the
         # checkpoint's scheme meta but leave the bytes on disk
+        if self.seen_filter == "cuckoo":
+            from data_collector_spark.operators.cuckoo import ShardedCuckoo
+
+            return ShardedCuckoo.load(
+                dirpath, self.bloom_shards, self.cuckoo_buckets,
+                load_bitmaps=not self.bloom_probe_via_files,
+            )
         return ShardedBloom.load(
             dirpath, self.bloom_shards, self.bloom_bits, self.bloom_k,
             load_bitmaps=not self.bloom_probe_via_files,
@@ -169,9 +185,11 @@ def run_crawl(
         init_crawl(spark, state, seeds, cfg)
     else:
         state.drop_uncommitted()
+    from data_collector_spark.operators.cuckoo import CuckooSchemeMismatch
+
     try:
         bloom = cfg.load_bloom(state.bloom_dir())
-    except BloomSchemeMismatch:
+    except (BloomSchemeMismatch, CuckooSchemeMismatch):
         # checkpoint shards were written under another hash scheme/sizing:
         # probing them would produce false negatives, so rebuild the filter
         # from the exact seen table (the source of truth) before resuming

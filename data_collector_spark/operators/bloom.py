@@ -288,7 +288,10 @@ class ShardedBloom:
     def _write_meta(self, dirpath: str) -> None:
         path = os.path.join(dirpath, "_meta.json")
         if os.path.exists(path):
-            return
+            with open(path) as f:
+                if json.load(f) == self._meta():
+                    return  # current; a DIFFERENT meta (e.g. a stale
+                    # other-kind marker after a filter switch) is replaced
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._meta(), f)
@@ -299,6 +302,9 @@ class ShardedBloom:
         self._write_meta(dirpath)
         for s, b in self.bitmaps.items():
             np.save(os.path.join(dirpath, f"shard-{s:04d}.npy"), b)
+
+    def dir_has_shards(self, dirpath: str) -> bool:
+        return dir_has_shards(dirpath)
 
     @classmethod
     def load(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from data_collector_spark.operators.bloom import ShardedBloom, dir_has_shards
+from data_collector_spark.operators.bloom import ShardedBloom
 
 
 def _observed(df: DataFrame, obs_sink: list[Observation] | None) -> DataFrame:
@@ -58,9 +58,13 @@ def dedup_against_seen(
     if seen is None:
         return _observed(candidates, input_count_obs)
     # file-backed mode holds no driver-side bitmaps at all — shard presence
-    # on disk is the "filter has content" signal there
+    # on disk is the "filter has content" signal there. The filter object
+    # (ShardedBloom or the duck-typed ShardedCuckoo) knows its own shard
+    # file naming, so ask it.
     has_filter = bloom is not None and (
-        dir_has_shards(bloom_dir) if bloom_dir is not None else bool(bloom.bitmaps)
+        bloom.dir_has_shards(bloom_dir)
+        if bloom_dir is not None
+        else bool(bloom.bitmaps)
     )
     if has_filter:
         if bloom_dir is not None:
