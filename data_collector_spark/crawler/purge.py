@@ -1,0 +1,101 @@
+"""Purge — remove URLs from a crawl checkpoint so they can be forgotten
+or re-crawled (takedowns, robots revocations, GDPR-style deletions).
+
+The reference's analog is the warden delete path
+(/root/reference/src/database/warden_service.rs:70-121: rows leave the
+blocklist/master tables and the symbol becomes collectable again). Here a
+purge must touch three places to be complete:
+
+1. the EXACT seen table — the anti-join backstop (else rediscovered
+   links still dedup away),
+2. the page store (``pages_out``) — the content itself,
+3. the approximate filter — ``ShardedCuckoo.delete_df`` removes the
+   fingerprints in place; a Bloom filter cannot delete, so it is rebuilt
+   from the post-purge seen table (bounded: one build pass, same cost as
+   a resume-after-scheme-change).
+
+Tables rewrite through the compaction machinery (anti-join -> new
+``base@K`` -> manifest commit -> prune), so a crash mid-purge leaves the
+old state readable and the purge re-runs idempotently. ``fetch_log`` is
+lineage, kept by default (``purge_log=True`` rewrites it too for full
+erasure).
+
+Scale shape: one distributed anti-join + rewrite per table — the Iceberg
+``DELETE WHERE`` / MERGE path at cluster scale — plus one filter update.
+No driver-side key material beyond the caller's purge list handle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collector_spark.crawler.state import CrawlState
+
+
+def _max_round(state: CrawlState, table: str) -> int | None:
+    ck = state.compacted_upto(table)
+    live = state._live_round_dirs(table)
+    if live:
+        return max(live)
+    return ck
+
+
+def purge_urls(
+    spark: SparkSession,
+    workdir: str,
+    purge_keys: DataFrame,
+    cfg=None,
+    purge_log: bool = False,
+) -> dict[str, int]:
+    """Remove ``purge_keys`` (a url_sha1 column) from the checkpoint.
+
+    Returns {table: rows_removed}. After a purge the URLs probe as unseen:
+    a subsequent crawl round re-admits them the next time a link (or a
+    recrawl/seed entry) reaches them. ``cfg`` (a CrawlConfig) is needed to
+    update the approximate filter; None skips the filter step (only safe
+    when the crawl runs with use_bloom=False).
+    """
+    state = CrawlState(workdir)
+    keys = purge_keys.select("url_sha1").distinct().persist()
+    keys.count()  # materialize once; reused per table
+    removed: dict[str, int] = {}
+
+    tables = ["seen", "pages_out"] + (["fetch_log"] if purge_log else [])
+    for table in tables:
+        df = state.read_all(spark, table)
+        if df is None:
+            continue
+        upto = _max_round(state, table)
+        kept = df.join(F.broadcast(keys), "url_sha1", "left_anti")
+        n_before = df.count()
+        # _rewrite_base always targets a fresh dir (generation suffix on
+        # same-level rewrites), so reading `df` lazily while writing is safe
+        state._rewrite_base(spark, table, upto, kept)
+        removed[table] = n_before - state.read_all(spark, table).count()
+
+    if cfg is not None and cfg.use_bloom:
+        bloom_dir = state.bloom_dir()
+        if cfg.seen_filter == "cuckoo":
+            from data_collector_spark.operators.cuckoo import ShardedCuckoo
+
+            cf = ShardedCuckoo.load(bloom_dir, cfg.bloom_shards, cfg.cuckoo_buckets)
+            removed["filter_fingerprints"] = cf.delete_df(keys)
+            cf.save(bloom_dir)
+        else:
+            # Bloom cannot delete: rebuild from the post-purge seen table
+            import shutil
+
+            shutil.rmtree(bloom_dir, ignore_errors=True)
+            bf = cfg.make_bloom()
+            seen_all = state.read_all(spark, "seen")
+            if seen_all is not None:
+                if cfg.bloom_probe_via_files:
+                    bf.add_df_via_files(seen_all, bloom_dir)
+                else:
+                    bf.add_df(seen_all)
+                    bf.save(bloom_dir)
+            removed["filter_fingerprints"] = -1  # rebuilt, not decremented
+
+    keys.unpersist()
+    return removed

@@ -124,8 +124,20 @@ class CrawlState:
         st = self.read()
         return None if st is None else st.get("compacted", {}).get(table)
 
+    def _base_name(self, table: str, upto: int) -> str:
+        """Physical base dir for a compaction level. Normally ``base@K``;
+        a same-level rewrite (purge) gets a generation suffix
+        (``base@K#2``, …) recorded in the manifest so the new base is
+        written to a FRESH dir and swapped in atomically at manifest
+        commit — never overwriting the dir a lazy plan reads from."""
+        st = self.read() or {}
+        name = st.get("compacted_dirs", {}).get(table)
+        if name is not None and st.get("compacted", {}).get(table) == upto:
+            return name
+        return f"base@{upto}"
+
     def _base_dir(self, table: str, upto: int) -> str:
-        return os.path.join(self._dir(table), f"base@{upto}")
+        return os.path.join(self._dir(table), self._base_name(table, upto))
 
     def _live_round_dirs(self, table: str) -> list[int]:
         """Round dirs NOT superseded by the compacted base."""
@@ -185,6 +197,39 @@ class CrawlState:
         d = self._dir(table, round_n)
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
 
+    def _rewrite_base(self, spark: SparkSession, table: str, upto_round: int, df) -> None:
+        """Write ``df`` as the new base for level ``upto_round``, commit
+        level + dir name in the manifest, prune superseded dirs — the
+        shared tail of compact() and purge. Always writes a dir DIFFERENT
+        from the current base (generation suffix on same-level rewrites),
+        so the lazy ``df`` plan can read the old base while the new one
+        is written; the manifest replace is the atomic swap."""
+        ck = self.compacted_upto(table)
+        current = self._base_name(table, ck) if ck is not None else None
+        name = f"base@{upto_round}"
+        if current == name:
+            gen = 2
+            if "#" in current:
+                gen = int(current.split("#", 1)[1]) + 1
+            name = f"base@{upto_round}#{gen}"
+        target = os.path.join(self._dir(table), name)
+        (
+            df.repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+        st = self.read() or {"rounds": []}
+        st.setdefault("compacted", {})[table] = upto_round
+        st.setdefault("compacted_dirs", {})[table] = name  # commit point
+        self._write_manifest(st)
+        # cleanup (idempotent; re-swept by the next compaction on crash)
+        base = self._dir(table)
+        for entry in os.listdir(base):
+            if entry.startswith("round=") and int(entry.split("=", 1)[1]) <= upto_round:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            elif entry.startswith("base@") and entry != name:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
     def compact(self, spark: SparkSession, table: str, upto_round: int) -> None:
         """Rewrite rounds <= upto_round (and any previous base) into one
         ``base@upto_round`` dir, commit the level in the manifest, prune
@@ -200,23 +245,9 @@ class CrawlState:
         df = self.read_all(spark, table)
         if df is None:
             return
-        target = self._base_dir(table, upto_round)
-        (
-            df.filter(F.col("round") <= upto_round)
-            .repartition(spark.sparkContext.defaultParallelism)
-            .write.mode("overwrite")
-            .parquet(target)
+        self._rewrite_base(
+            spark, table, upto_round, df.filter(F.col("round") <= upto_round)
         )
-        st = self.read() or {"rounds": []}
-        st.setdefault("compacted", {})[table] = upto_round  # commit point
-        self._write_manifest(st)
-        # cleanup (idempotent; re-swept by the next compaction on crash)
-        base = self._dir(table)
-        for entry in os.listdir(base):
-            if entry.startswith("round=") and int(entry.split("=", 1)[1]) <= upto_round:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-            elif entry.startswith("base@") and int(entry.split("@", 1)[1]) < upto_round:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     def drop_uncommitted(self) -> None:
         """Delete any round dirs newer than the committed round (crash debris)."""
