@@ -87,6 +87,14 @@ class CrawlConfig:
     # None = detect duplicate captures with one corpus scan at crawl
     # start; True/False skips the scan (e.g. a snapshot known unique)
     corpus_unique_urls: bool | None = None
+    # Pre-dedup of RAW link strings before the canonicalize UDF: a win
+    # exactly when links repeat a lot (real webgraphs: nav bars, hubs),
+    # a measured loss at low duplication (SCALING_r03: -4% at 8 cores on
+    # the 8-links/page corpus). None = adaptive: off for round 0, then on
+    # iff the previous round observed links_extracted/unique-candidates
+    # >= link_prededup_min_dup; True/False forces it
+    link_prededup: bool | None = None
+    link_prededup_min_dup: float = 2.0
     # True = Bloom probes shuffle keys to their shard and read ONLY that
     # shard's bitmap from the checkpoint dir (no whole-filter broadcast —
     # mandatory once the filter outgrows executor memory at 10^10 keys);
@@ -219,6 +227,31 @@ def run_crawl(
 
     metrics: list[RoundMetrics] = []
     start = state.last_committed_round() + 1  # type: ignore[operator]
+    if cfg.daily_budget > 0 and cfg.rounds_per_day > 0 and start > 0:
+        # host_spend is a running table maintained by the previous round;
+        # a checkpoint that predates it (daily budgets enabled mid-crawl,
+        # or a pre-r4 workdir) would resume mid-window with the window's
+        # prior spend forgotten and let hosts exceed the daily budget.
+        # Bootstrap ONCE from the window's fetch_log rounds — the same
+        # one-time pattern last_fetch uses — never inside the steady loop.
+        w0 = start - (start % cfg.rounds_per_day)
+        if w0 < start and not state.has_round("host_spend", start):
+            window_logs = [
+                state.read_round(spark, "fetch_log", r, FETCH_LOG_SCHEMA)
+                for r in range(w0, start)
+                if state.has_round("fetch_log", r)
+            ]
+            if window_logs:
+                hist = window_logs[0]
+                for part in window_logs[1:]:
+                    hist = hist.unionByName(part)
+                state.write_round(
+                    "host_spend",
+                    start,
+                    hist.filter(F.col("status").isin("fetched", "dead"))
+                    .groupBy("host")
+                    .agg(F.count("*").cast("long").alias("spent")),
+                )
     first = state.read_round(spark, "frontier", start).agg(
         F.count("*").alias("n"), F.countDistinct("host").alias("hosts")
     ).collect()[0]
@@ -239,11 +272,19 @@ def run_crawl(
         start_round=start, max_rounds=cfg.max_rounds,
         frontier_rows=frontier_rows, dedup_captures=dedup_captures,
     )
+    # adaptive link-prededup: round N gates on round N-1's observed raw
+    # link duplication (one driver-side float; no extra jobs)
+    link_dup_factor = 0.0
     for n in range(start, cfg.max_rounds):
         # recrawl mode keeps ticking: an empty frontier refills once the
         # TTL elapses; otherwise an empty frontier means the crawl drained
         if cfg.recrawl_ttl_rounds == 0 and frontier_rows == 0:
             break
+        link_prededup = (
+            cfg.link_prededup
+            if cfg.link_prededup is not None
+            else link_dup_factor >= cfg.link_prededup_min_dup
+        )
         with events.span("round", f"round={n}", round=n):
             m = run_round(
                 spark, state, pages, robots_rules, budget_spec, bloom, n,
@@ -260,7 +301,11 @@ def run_crawl(
                 pages_partitions=pages_partitions,
                 dedup_captures=dedup_captures,
                 bloom_probe_via_files=cfg.bloom_probe_via_files,
+                link_prededup=link_prededup,
             )
+            uniq_cand = m.deduped + m.enqueued
+            if uniq_cand > 0:
+                link_dup_factor = m.links_extracted / uniq_cand
             recrawl_hosts = 0
             if cfg.recrawl_ttl_rounds > 0:
                 from data_collector_spark.operators.recrawl import (

@@ -61,6 +61,21 @@ def purge_urls(
     keys.count()  # materialize once; reused per table
     removed: dict[str, int] = {}
 
+    # Filter deletion must only see keys the EXACT pre-purge seen table
+    # confirms (cuckoo.py's delete_df contract): deleting a never-inserted
+    # key can strip an indistinguishable twin's fingerprint — a silent
+    # false negative for a genuinely-seen URL. External takedown lists of
+    # never-crawled URLs and idempotent re-runs after a crash both hit
+    # this, so snapshot the confirmed subset BEFORE the table rewrites.
+    pre_seen = state.read_all(spark, "seen")
+    filter_keys = (
+        keys.join(pre_seen.select("url_sha1"), "url_sha1", "left_semi").persist()
+        if pre_seen is not None
+        else None
+    )
+    if filter_keys is not None:
+        filter_keys.count()
+
     tables = ["seen", "pages_out"] + (["fetch_log"] if purge_log else [])
     for table in tables:
         df = state.read_all(spark, table)
@@ -80,7 +95,9 @@ def purge_urls(
             from data_collector_spark.operators.cuckoo import ShardedCuckoo
 
             cf = ShardedCuckoo.load(bloom_dir, cfg.bloom_shards, cfg.cuckoo_buckets)
-            removed["filter_fingerprints"] = cf.delete_df(keys)
+            removed["filter_fingerprints"] = (
+                cf.delete_df(filter_keys) if filter_keys is not None else 0
+            )
             cf.save(bloom_dir)
         else:
             # Bloom cannot delete: rebuild from the post-purge seen table
@@ -98,4 +115,6 @@ def purge_urls(
             removed["filter_fingerprints"] = -1  # rebuilt, not decremented
 
     keys.unpersist()
+    if filter_keys is not None:
+        filter_keys.unpersist()
     return removed

@@ -192,6 +192,7 @@ def run_round(
     pages_partitions: int | None = None,
     dedup_captures: bool = False,
     bloom_probe_via_files: bool = False,
+    link_prededup: bool = False,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -357,23 +358,28 @@ def run_round(
         F.col("warc_ts").alias("parent_ts"),
         F.explode("links").alias("url"),
     )
-    # collapse duplicate RAW link strings before the Python canonicalize
-    # pass: links repeat heavily across pages (nav bars, hubs), so this
-    # JVM-side groupBy — whose map-side combine shrinks the shuffle too —
-    # cuts the Arrow-UDF input by the duplication factor (~8x on the bench
-    # corpus, far more on real web graphs). Exactly equivalent: url_canon
+    # Optionally collapse duplicate RAW link strings before the Python
+    # canonicalize pass: on real webgraphs links repeat heavily (nav bars,
+    # hubs) and this JVM-side groupBy — whose map-side combine shrinks the
+    # shuffle too — cuts the Arrow-UDF input by the duplication factor. At
+    # LOW duplication the extra shuffle costs more than the Arrow rows it
+    # saves (measured -4% at 8 cores on the 8-links/page bench corpus,
+    # SCALING_r03), so the driver gates it on the dup factor observed in
+    # the previous round (links_extracted / unique candidates) — see
+    # CrawlConfig.link_prededup. Exactly equivalent either way: url_canon
     # is a function of the raw url, so min-per-raw-url then min-per-sha ==
     # min-per-sha (two-level min over the same ordering).
-    links_uniq = (
-        links.groupBy("url")
-        .agg(F.min(F.struct("parent_depth", "parent_ts")).alias("_lm"))
-        .select(
-            "url",
-            F.col("_lm.parent_depth").alias("parent_depth"),
-            F.col("_lm.parent_ts").alias("parent_ts"),
+    if link_prededup:
+        links = (
+            links.groupBy("url")
+            .agg(F.min(F.struct("parent_depth", "parent_ts")).alias("_lm"))
+            .select(
+                "url",
+                F.col("_lm.parent_depth").alias("parent_depth"),
+                F.col("_lm.parent_ts").alias("parent_ts"),
+            )
         )
-    )
-    cand = with_canonical_url(links_uniq, "url")
+    cand = with_canonical_url(links, "url")
     # within-round dedup: deterministic min over (depth, ts) per key (J5);
     # persisted because the Bloom split consumes it twice (definitely-new
     # branch + suspects branch) — without the cache the canonicalize UDF

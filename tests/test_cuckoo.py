@@ -4,16 +4,78 @@ equivalence, and crawl-level parity with the Bloom filter."""
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from data_collector_spark.operators.cuckoo import CuckooSchemeMismatch, ShardedCuckoo
+from data_collector_spark.operators.cuckoo import (
+    SLOTS,
+    CuckooSchemeMismatch,
+    ShardedCuckoo,
+    _insert_all,
+)
 from data_collector_spark.operators.seen import dedup_against_seen
 
 
 def sha_df(spark, values):
     rows = [(hashlib.sha1(v.encode()).hexdigest(), v) for v in values]
     return spark.createDataFrame(rows, "url_sha1 string, url_canon string")
+
+
+def _hash_batch(n, seed=0):
+    digs = [hashlib.sha1(f"{seed}-{i}".encode()).digest() for i in range(n)]
+    h1 = np.array(
+        [int.from_bytes(d[:8], "big") for d in digs], dtype=np.uint64
+    )
+    h2 = np.array(
+        [int.from_bytes(d[8:16], "big") for d in digs], dtype=np.uint64
+    )
+    return h1, h2
+
+
+def test_bulk_insert_matches_sequential_bytes():
+    """The vectorized bulk path must be byte-identical to the sequential
+    build — sparse tables take the bulk path, the dense case falls back,
+    and idempotent re-adds are no-ops in both modes."""
+    for m, n in [(1 << 12, 500), (64, 300), (256, 900)]:
+        t_bulk = np.zeros((m, SLOTS), dtype=np.uint16)
+        t_seq = np.zeros((m, SLOTS), dtype=np.uint16)
+        sp_bulk, sp_seq = [], []
+        for seed in range(3):
+            h1, h2 = _hash_batch(n, seed)
+            _insert_all(t_bulk, sp_bulk, h1, h2, m)
+            _insert_all(t_seq, sp_seq, h1, h2, m, force_sequential=True)
+            # re-adding the same batch must change nothing (retry safety)
+            _insert_all(t_bulk, sp_bulk, h1, h2, m)
+            _insert_all(t_seq, sp_seq, h1, h2, m, force_sequential=True)
+        assert (t_bulk == t_seq).all()
+        assert sp_bulk == sp_seq
+
+
+def test_spilled_key_reinsert_is_noop():
+    """Keys on the spill list count as present: a retried task re-adding a
+    previously-spilled key must not duplicate its spill entry (else a later
+    delete removes only one copy and the key keeps probing as present)."""
+    m = 64
+    table = np.zeros((m, SLOTS), dtype=np.uint16)
+    spill: list = []
+    h1, h2 = _hash_batch(400, seed=7)
+    _insert_all(table, spill, h1, h2, m)
+    assert spill, "expected displacement pressure to spill"
+    snap_t, snap_sp = table.copy(), list(spill)
+    _insert_all(table, spill, h1, h2, m)
+    assert (table == snap_t).all() and spill == snap_sp
+    _insert_all(table, spill, h1, h2, m, force_sequential=True)
+    assert (table == snap_t).all() and spill == snap_sp
+
+
+def test_buckets_must_be_power_of_two():
+    """_alt's XOR displacement is only an involution mod 2^k; any other
+    bucket count silently relocates evicted fingerprints outside their two
+    lookup buckets (false negatives), so the constructor refuses it."""
+    with pytest.raises(ValueError, match="power of two"):
+        ShardedCuckoo(n_shards=4, buckets_per_shard=100_000)
+    ShardedCuckoo(n_shards=4, buckets_per_shard=1 << 10)  # ok
 
 
 def test_no_false_negatives_even_under_pressure(spark):

@@ -78,6 +78,42 @@ def test_purge_forgets_and_readmits(spark, tmp_path, seen_filter):
     assert removed2["seen"] == 0 and removed2["pages_out"] == 0
 
 
+def test_purge_external_list_only_deletes_confirmed_seen(spark, tmp_path):
+    """A takedown list can contain never-crawled URLs. Deleting a
+    never-inserted key from a cuckoo filter can strip an indistinguishable
+    twin's fingerprint (a silent false negative for a genuinely-seen URL),
+    so purge must pass delete_df ONLY the keys the exact pre-purge seen
+    table confirms — and every still-seen key must keep probing True."""
+    import hashlib
+
+    wd, cfg = _crawl(spark, tmp_path, "ext", seen_filter="cuckoo")
+    state = CrawlState(wd)
+    seen0 = state.read_all(spark, "seen").select("url_sha1", "url_canon").collect()
+    seen_keys = sorted(r["url_sha1"] for r in seen0)
+    confirmed = seen_keys[:2]
+    never = [hashlib.sha1(f"never-crawled-{i}".encode()).hexdigest() for i in range(3)]
+    takedown = spark.createDataFrame(
+        [(k,) for k in confirmed + never], "url_sha1 string"
+    )
+
+    removed = purge_urls(spark, wd, takedown, cfg=cfg)
+    assert removed["seen"] == 2 and removed["pages_out"] == 2
+    # only the 2 confirmed keys reached the filter delete
+    assert removed["filter_fingerprints"] == 2
+
+    # no false negatives for surviving seen keys
+    flt = cfg.load_bloom(state.bloom_dir())
+    survivors = spark.createDataFrame(
+        [(r["url_sha1"], r["url_canon"]) for r in seen0
+         if r["url_sha1"] not in confirmed],
+        "url_sha1 string, url_canon string",
+    )
+    assert (
+        flt.with_maybe_seen(spark, survivors)
+        .filter(~F.col("maybe_seen")).count() == 0
+    )
+
+
 def test_purge_full_erasure_includes_log(spark, tmp_path):
     wd, cfg = _crawl(spark, tmp_path, "erase", seen_filter="cuckoo")
     state = CrawlState(wd)
