@@ -10,13 +10,20 @@ DataFrame pipeline a user runs directly on a committed crawl workdir.
 
 Scale shape: every stage is the already-scale-audited operator — content
 hash groupBy, banded LSH equi-join (never all-pairs), codegen feature
-columns, pure-hash split. Near-dup resolution is the standard greedy
-pair-drop (keep the smaller doc id of each confirmed pair): one
-anti-join, no iterative connected components — at 10^10 docs the
-union-find closure would be an iterative-join job chain; greedy keeps
-one representative per pairwise-confirmed duplicate at the cost of
-occasionally dropping both endpoints of a chain (documented, test-pinned
-behavior).
+columns, pure-hash split. Near-dup resolution is selectable:
+
+- ``resolution="greedy"`` (default): drop the larger doc id of each
+  confirmed pair — one anti-join, no iteration. On duplicate CHAINS it
+  can drop a doc whose only kept "representative" was itself dropped
+  (A<B<C with pairs A~B, B~C loses both B and C while only A survives),
+  and can over-keep a transitive dup whose direct pairs all point at
+  larger ids (pairs A~C, B~C keep both A and B). Documented, test-pinned.
+- ``resolution="components"``: iterative min-label propagation over the
+  confirmed-pair graph to convergence — each iteration is ONE self-join
+  (+ a bounded groupBy), iteration count = component diameter (near-dup
+  components are shallow: pairs confirmed at Jaccard >= t cluster
+  tightly), hard-capped at ``components_max_iters``. Keeps exactly the
+  component-minimum doc id per connected component.
 """
 
 from __future__ import annotations
@@ -55,6 +62,58 @@ def latest_pages(spark: SparkSession, state: CrawlState) -> DataFrame:
     )
 
 
+def near_dup_losers(
+    near: DataFrame, resolution: str = "greedy", max_iters: int = 20
+) -> DataFrame:
+    """Confirmed near-dup pairs (a_id, b_id with a_id < b_id) -> the
+    (doc_id) rows to DROP, per the chosen resolution (module docstring).
+
+    Components mode: min-label propagation — labels start as own id;
+    each round every node takes the min label among itself and its
+    neighbors; converged when nothing changes (checked with a LIMIT 1
+    existence probe, not a full count). Losers = nodes whose final label
+    is not their own id, i.e. everything but each component's minimum.
+    """
+    if resolution == "greedy":
+        return near.select(F.col("b_id").alias("doc_id")).distinct()
+    if resolution != "components":
+        raise ValueError(f"unknown near-dup resolution: {resolution!r}")
+    edges = near.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("label").alias("_old")), "id")
+            .filter(F.col("label") < F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def build_training_set(
     spark: SparkSession,
     workdir: str,
@@ -66,6 +125,8 @@ def build_training_set(
     n_perm: int = 32,
     bands: int = 8,
     train_pct: int = 90,
+    resolution: str = "greedy",
+    components_max_iters: int = 20,
 ) -> DataFrame:
     """-> (doc_id, url_canon, text, lang_pred, quality, n_tok, split).
 
@@ -73,7 +134,9 @@ def build_training_set(
     corpus (hash split, min-id dedup winners, no sampling anywhere).
     ``near_dup_threshold=0`` skips the MinHash stage (exact dedup only);
     ``lang=None`` keeps every language (the marker-word lang-ID emits
-    'und' for texts with no known markers).
+    'und' for texts with no known markers); ``resolution`` picks the
+    near-dup pair resolution (module docstring: "greedy" one-shot vs
+    "components" chain-safe min-label propagation).
     """
     from data_collector_spark.functions.sketches import (
         estimated_jaccard,
@@ -92,8 +155,8 @@ def build_training_set(
     )
     docs = docs.join(kept, "doc_id")
 
-    # 2. MinHash/LSH near-dedup: confirmed pairs (est. Jaccard >= t) drop
-    #    the larger id (greedy pair-drop; see module docstring)
+    # 2. MinHash/LSH near-dedup: confirmed pairs (est. Jaccard >= t)
+    #    resolve to losers per the chosen strategy (module docstring)
     if near_dup_threshold > 0:
         words = tokenize(docs)
         sig = minhash_signatures(words, n_perm=n_perm)
@@ -101,7 +164,7 @@ def build_training_set(
         near = estimated_jaccard(sig, pairs, n_perm=n_perm).filter(
             F.col("jaccard_est") >= near_dup_threshold
         )
-        losers = near.select(F.col("b_id").alias("doc_id")).distinct()
+        losers = near_dup_losers(near, resolution, components_max_iters)
         docs = docs.join(losers, "doc_id", "left_anti")
 
     # 3. feature columns + filters, one fused projection

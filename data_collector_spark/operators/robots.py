@@ -1,18 +1,28 @@
-"""robots.txt disallow filter — the reference's warden blocklist.
+"""robots.txt filter — the reference's warden blocklist, extended to
+RFC 9309 Allow/Disallow precedence.
 
 ``source_symbol_warden`` marks symbols a source will never serve
 (/root/reference/migrations/20240509031900_SOURCE_SYBMOL_WARDEN.sql:6-12,
 src/database/warden_service.rs:70-121); collectors exclude them with
 ``NOT IN (SELECT unnest($1))`` (SURVEY.md J6/R6). Crawler analog: a tiny
-(host, path_prefix) disallow table, aggregated to one array row per host,
-broadcast-joined, and checked JVM-side with ``exists()`` — no UDF, no
-shuffle on the frontier side.
+(host, path_prefix, allow) rules table, aggregated to one array row per
+host, broadcast-joined, and decided JVM-side with higher-order functions
+— no UDF, no shuffle on the frontier side.
+
+RFC 9309 §2.2.2 precedence: the rule whose path prefix has the LONGEST
+match wins; on a length tie Allow wins. That makes the common large-site
+idiom ``Disallow: /`` + ``Allow: /public`` work: /public/... matches the
+7-char Allow over the 1-char Disallow. Plain blocklist tables without an
+``allow`` column keep their old semantics (every rule a Disallow, ''
+blocks the whole host) — the reference's warden is exactly that shape.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_RULES_T = "array<struct<prefix:string,allow:boolean>>"
 
 
 def parse_robots_txt(
@@ -21,25 +31,26 @@ def parse_robots_txt(
     text_col: str = "robots_txt",
     agent: str = "*",
 ) -> DataFrame:
-    """(host, robots_txt) -> the (host, path_prefix) rules table that
-    ``split_robots`` consumes — fetched robots.txt bodies become the
-    blocklist without leaving the JVM.
+    """(host, robots_txt) -> the (host, path_prefix, allow) rules table
+    that ``split_robots`` consumes — fetched robots.txt bodies become the
+    rules without leaving the JVM.
 
-    Simplified RFC 9309 grouping, implemented as ONE ``F.aggregate`` fold
-    over the split lines (codegen; per-host robots.txt is small, so a
-    per-row fold is the right shape — no explode/window/shuffle):
-    consecutive ``User-agent:`` lines open a group; the group applies if
-    any of its agents is ``*`` or equals ``agent`` (case-insensitive
-    token match); ``Disallow:`` lines inside an applying group contribute
-    their path prefix; empty ``Disallow:`` means allow-all and adds
-    nothing; comments (#) and unknown directives are ignored (unknown
+    RFC 9309 grouping, implemented as ONE ``F.aggregate`` fold over the
+    split lines (codegen; per-host robots.txt is small, so a per-row fold
+    is the right shape — no explode/window/shuffle): consecutive
+    ``User-agent:`` lines open a group; the group applies if any of its
+    agents is ``*`` or equals ``agent`` (case-insensitive token match);
+    ``Disallow:``/``Allow:`` lines inside an applying group contribute
+    (prefix, allow) rules; empty values add nothing (empty Disallow means
+    allow-all); comments (#) and unknown directives are ignored (unknown
     directives close the agent run like rules do). ``Disallow: /`` blocks
-    the whole host (every path startswith '/')."""
+    the whole host unless a longer ``Allow:`` match wins (split_robots
+    applies the longest-match precedence)."""
     lines = F.split(F.col(text_col), "\n")
-    # accumulator: (in_agent_run, active, prefixes)
+    # accumulator: (in_agent_run, active, rules)
     init = F.struct(
         F.lit(False).alias("run"), F.lit(False).alias("act"),
-        F.array().cast("array<string>").alias("acc"),
+        F.array().cast(_RULES_T).alias("acc"),
     )
 
     def step(acc, raw):
@@ -48,6 +59,7 @@ def parse_robots_txt(
         low = F.lower(line)
         is_ua = low.startswith("user-agent:")
         is_dis = low.startswith("disallow:")
+        is_alw = low.startswith("allow:")
         # value = everything after the FIRST colon (paths may contain ':')
         value = F.trim(F.regexp_replace(line, "^[^:]*:", ""))
         ua_match = (value == F.lit("*")) | (F.lower(value) == F.lit(agent.lower()))
@@ -65,19 +77,24 @@ def parse_robots_txt(
                 ),
             )
             .when(
-                is_dis,
+                is_dis | is_alw,
                 F.struct(
                     F.lit(False).alias("run"),
                     acc["act"].alias("act"),
                     F.when(
                         acc["act"] & (value != ""),
-                        F.array_append(acc["acc"], value),
+                        F.array_append(
+                            acc["acc"],
+                            F.struct(
+                                value.alias("prefix"), is_alw.alias("allow")
+                            ),
+                        ),
                     )
                     .otherwise(acc["acc"])
                     .alias("acc"),
                 ),
             )
-            .otherwise(  # other directive (Allow, Sitemap, …): ends UA run
+            .otherwise(  # other directive (Sitemap, Crawl-delay, …): ends UA run
                 F.struct(
                     F.lit(False).alias("run"), acc["act"].alias("act"),
                     acc["acc"].alias("acc"),
@@ -85,27 +102,58 @@ def parse_robots_txt(
             )
         )
 
-    prefixes = F.aggregate(lines, init, step, lambda acc: acc["acc"])
+    rules = F.aggregate(lines, init, step, lambda acc: acc["acc"])
     return (
-        robots_txt.select(F.col(host_col).alias("host"), prefixes.alias("_p"))
-        .select("host", F.explode("_p").alias("path_prefix"))
+        robots_txt.select(F.col(host_col).alias("host"), rules.alias("_r"))
+        .select("host", F.explode("_r").alias("_rule"))
+        .select(
+            "host",
+            F.col("_rule.prefix").alias("path_prefix"),
+            F.col("_rule.allow").alias("allow"),
+        )
     )
 
 
 def split_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """-> (allowed, blocked). '' prefix blocks the whole host.
+    """-> (allowed, blocked) by RFC 9309 longest-match precedence.
 
-    frontier needs url_canon + host columns.
+    ``robots`` is (host, path_prefix[, allow]); a missing ``allow`` column
+    means every rule is a Disallow (the reference's warden blocklist
+    shape, and the engine's pre-r4 semantics — '' blocks the whole host).
+    frontier needs url_canon + host columns. The longest matching prefix
+    decides; a length tie goes to Allow; no match allows.
     """
-    rules = robots.groupBy("host").agg(F.collect_list("path_prefix").alias("_prefixes"))
+    if "allow" not in robots.columns:
+        robots = robots.withColumn("allow", F.lit(False))
+    rules = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("prefix"), F.col("allow").alias("allow")
+            )
+        ).alias("_rules")
+    )
     path = F.regexp_extract("url_canon", r"^[a-z0-9+.\-]+://[^/?#]+(/[^?#]*)?", 1)
-    joined = frontier.join(F.broadcast(rules), "host", "left").withColumn(
-        "_path", F.coalesce(path, F.lit("/"))
+    # winner = max over matching rules of (prefix_length, allow): struct
+    # ordering compares length first, then allow (true > false on ties)
+    matching = F.filter(
+        F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"])
     )
-    blocked_pred = F.col("_prefixes").isNotNull() & F.exists(
-        "_prefixes",
-        lambda p: (p == F.lit("")) | F.col("_path").startswith(p),
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"), r["allow"].alias("a")
+            ),
+        )
     )
-    allowed = joined.filter(~blocked_pred).drop("_prefixes", "_path")
-    blocked = joined.filter(blocked_pred).drop("_prefixes", "_path")
+    joined = (
+        frontier.join(F.broadcast(rules), "host", "left")
+        .withColumn("_path", F.coalesce(path, F.lit("/")))
+        .withColumn(
+            "_blocked",
+            F.col("_rules").isNotNull() & best.isNotNull() & ~best["a"],
+        )
+    )
+    allowed = joined.filter(~F.col("_blocked")).drop("_rules", "_path", "_blocked")
+    blocked = joined.filter(F.col("_blocked")).drop("_rules", "_path", "_blocked")
     return allowed, blocked

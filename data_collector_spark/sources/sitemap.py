@@ -62,15 +62,66 @@ def parse_sitemap(docs: DataFrame, text_col: str = "sitemap_xml") -> DataFrame:
     )
 
 
-def seeds_from_sitemaps(docs: DataFrame, text_col: str = "sitemap_xml") -> DataFrame:
+def resolve_sitemap_indexes(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "sitemap_xml",
+    url_col: str = "url_canon",
+    body_col: str = "html",
+    max_depth: int = 2,
+) -> DataFrame:
+    """Expand sitemap-INDEX entries into their child sitemap documents.
+
+    Real-world sitemap.xml files are almost always indexes (google/bing
+    cap urlsets at 50k entries), so the entry document alone seeds
+    nothing. Each depth level joins the ``kind='sitemap'`` child locs
+    against a fetched corpus (the same fetch-as-join the crawl's wave
+    uses — no driver-side HTTP here; the corpus is whatever fetch layer
+    the caller drives) and re-parses the bodies. Depth is bounded
+    (``max_depth``, default 2: index -> child urlsets covers the standard
+    layout; index-of-index needs 2). Returns the original docs plus every
+    resolved child document, one ``text_col`` column — feed it straight to
+    ``seeds_from_sitemaps``. Child locs missing from the corpus drop out
+    (unfetched children can't contribute seeds). Scale shape: ``max_depth``
+    broadcast-able equi-joins, no UDF, no driver collect.
+    """
+    pages = corpus.select(
+        F.col(url_col).alias("_loc"), F.col(body_col).cast("string").alias(text_col)
+    )
+    out = docs.select(text_col)
+    frontier = out
+    for _ in range(max_depth):
+        children = (
+            parse_sitemap(frontier, text_col)
+            .filter(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias("_loc"))
+            .distinct()
+        )
+        frontier = F.broadcast(children).join(pages, "_loc", "inner").select(text_col)
+        out = out.unionByName(frontier)
+    return out
+
+
+def seeds_from_sitemaps(
+    docs: DataFrame,
+    text_col: str = "sitemap_xml",
+    corpus: DataFrame | None = None,
+    index_depth: int = 2,
+) -> DataFrame:
     """Sitemap documents -> the crawl seed table (url, priority).
 
     Sitemap priority (1.0 = most important) inverts into the frontier's
     ascending integer priority: p -> round(10 * (1 - p)), so 1.0 -> 0,
     default 0.5 -> 5, 0.0 -> 10. Duplicate locs keep their best (lowest)
-    priority. Index entries (kind='sitemap') are excluded — fetching
-    child sitemaps is an IO step the caller drives.
+    priority. When ``corpus`` is given, index entries (kind='sitemap')
+    resolve recursively against it first (``resolve_sitemap_indexes``,
+    depth <= ``index_depth``); without a corpus they are excluded —
+    fetching child sitemaps is an IO step the caller drives.
     """
+    if corpus is not None:
+        docs = resolve_sitemap_indexes(
+            docs, corpus, text_col, max_depth=index_depth
+        )
     urls = parse_sitemap(docs, text_col).filter(F.col("kind") == "url")
     return (
         urls.select(

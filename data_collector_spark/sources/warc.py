@@ -11,7 +11,10 @@ archive crawl output back out, without any external WARC library:
   the format is meant to be split), and an Arrow ``mapInPandas`` pass
   segments records by **Content-Length** (the only correct way — payloads
   may contain blank lines and ``WARC/1.0`` strings; regex splitting is
-  wrong) into (url, warc_ts, html, warc_type, record_id) rows.
+  wrong) into (url, warc_ts, html, warc_type, record_id) rows. Real
+  Common Crawl segments ship as ``.warc.gz`` with each record an
+  independent gzip member; the parser sniffs the gzip magic and
+  stream-decompresses the members transparently.
 - ``write_warc(df, out_dir)``: the inverse sink — one ``part-NNNNN.warc``
   file per partition (an S10 partition-creating sink), rows serialized as
   ``response`` records with correct Content-Length framing. Roundtrip is
@@ -25,6 +28,7 @@ is bytes slicing inside one Arrow batch stream.
 from __future__ import annotations
 
 import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -37,13 +41,42 @@ WARC_SCHEMA = (
 )
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _maybe_gunzip(blob: bytes) -> bytes:
+    """Transparent decompression of .warc.gz segments. Common Crawl writes
+    each record as an INDEPENDENT gzip member (so readers can seek); gzip
+    members concatenate cleanly, so looping ``zlib.decompressobj`` over
+    the blob and joining the outputs reconstructs the plain WARC stream.
+    Non-gzip input passes through untouched (magic-byte sniff)."""
+    if blob[:2] != _GZIP_MAGIC:
+        return blob
+    out = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=47)  # 32+15: auto gzip/zlib header
+        try:
+            out.append(d.decompress(blob[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            break  # truncated/corrupt member: keep what decoded (tail-drop)
+        rest = d.unused_data
+        if not rest or rest[:2] != _GZIP_MAGIC:
+            break
+        pos = n - len(rest)
+    return b"".join(out)
 
 
 def _parse_warc_bytes(blob: bytes) -> Iterator[dict]:
-    """Yield records from one WARC file's bytes. Malformed trailing data is
+    """Yield records from one WARC file's bytes (gzip members are
+    decompressed transparently). A file that does not START with a WARC
+    record raises — silently yielding zero rows from a mis-pointed path is
+    how whole segments go missing unnoticed. Malformed trailing data is
     dropped (a truncated tail record is the common real-world corruption);
     a malformed header mid-stream stops the scan rather than guessing at
     resync (Content-Length framing has no reliable resync point)."""
+    blob = _maybe_gunzip(blob)
     pos, n = 0, len(blob)
     while pos < n:
         # skip inter-record CRLFs
@@ -52,6 +85,11 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[dict]:
         if pos >= n:
             return
         if not blob[pos : pos + 5] == b"WARC/":
+            if pos == 0:
+                raise ValueError(
+                    f"not a WARC stream (starts with {blob[:8]!r}); "
+                    "expected a 'WARC/' record or gzip members of one"
+                )
             return  # not a record boundary: stop (no resync)
         hdr_end = blob.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
@@ -158,32 +196,36 @@ def write_warc(
     url_col: str = "url_canon",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
+    compress: bool = False,
 ) -> int:
     """Archive a pages DataFrame as WARC: one part-NNNNN.warc per
     partition, written executor-side (no driver collect). Record IDs are
     deterministic (<urn:uuid-free>: partition/ordinal) so re-runs produce
-    identical files. Returns the number of files written."""
+    identical files. ``compress=True`` writes .warc.gz in the Common Crawl
+    layout — every record its own gzip member (mtime pinned to 0 so
+    re-runs stay byte-identical). Returns the number of files written."""
+    import gzip
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     cols = [url_col, ts_col, payload_col]
+    ext = ".warc.gz" if compress else ".warc"
 
     def write_part(idx: int, it):
         out = io.BytesIO()
         wrote = 0
         for row in it:
-            out.write(
-                _record_bytes(
-                    row[url_col], row[ts_col], bytes(row[payload_col] or b""),
-                    f"<urn:dcs:{idx}/{wrote}>",
-                )
+            rec = _record_bytes(
+                row[url_col], row[ts_col], bytes(row[payload_col] or b""),
+                f"<urn:dcs:{idx}/{wrote}>",
             )
+            out.write(gzip.compress(rec, mtime=0) if compress else rec)
             wrote += 1
         if wrote:
-            tmp = os.path.join(out_dir, f".part-{idx:05d}.warc.tmp")
+            tmp = os.path.join(out_dir, f".part-{idx:05d}{ext}.tmp")
             with open(tmp, "wb") as f:
                 f.write(out.getvalue())
-            os.replace(tmp, os.path.join(out_dir, f"part-{idx:05d}.warc"))
+            os.replace(tmp, os.path.join(out_dir, f"part-{idx:05d}{ext}"))
         return iter([(idx, wrote)])
 
     parts = (

@@ -100,6 +100,96 @@ def test_parse_robots_txt_feeds_split_robots(spark):
     assert allowed.count() == 2
 
 
+def test_allow_precedence_longest_match(spark):
+    """RFC 9309 §2.2.2: the longest matching prefix wins — the big-site
+    idiom ``Disallow: /`` + ``Allow: /public/`` must admit /public/..."""
+    from data_collector_spark.operators.robots import parse_robots_txt, split_robots
+
+    txt = "User-agent: *\nDisallow: /\nAllow: /public/"
+    rules = parse_robots_txt(
+        spark.createDataFrame([("h0.test", txt)], "host string, robots_txt string")
+    )
+    assert {
+        (r["path_prefix"], r["allow"]) for r in rules.collect()
+    } == {("/", False), ("/public/", True)}
+    frontier = fdf(spark, [
+        "http://h0.test/public/a",   # allowed: 8-char Allow beats 1-char Disallow
+        "http://h0.test/public/",    # allowed
+        "http://h0.test/private/a",  # blocked: only Disallow: / matches
+        "http://h0.test/",           # blocked
+        "http://h0.test/publicity",  # hmm: /public/ does NOT prefix /publicity -> blocked
+    ])
+    allowed, blocked = split_robots(frontier, rules)
+    assert sorted(r["url_canon"] for r in allowed.collect()) == [
+        "http://h0.test/public/",
+        "http://h0.test/public/a",
+    ]
+    assert blocked.count() == 3
+
+
+def test_allow_wins_length_ties_and_nesting(spark):
+    from data_collector_spark.operators.robots import parse_robots_txt, split_robots
+
+    txt = "\n".join([
+        "User-agent: *",
+        "Disallow: /ab",
+        "Allow: /ab",          # same length: Allow wins the tie
+        "Allow: /p/",
+        "Disallow: /p/q/",     # longer Disallow re-blocks inside an Allow
+    ])
+    rules = parse_robots_txt(
+        spark.createDataFrame([("h0.test", txt)], "host string, robots_txt string")
+    )
+    frontier = fdf(spark, [
+        "http://h0.test/ab/x",   # tie -> allowed
+        "http://h0.test/p/ok",   # allowed
+        "http://h0.test/p/q/z",  # blocked (longest match is Disallow /p/q/)
+    ])
+    allowed, blocked = split_robots(frontier, rules)
+    assert sorted(r["url_canon"] for r in allowed.collect()) == [
+        "http://h0.test/ab/x",
+        "http://h0.test/p/ok",
+    ]
+    assert [r["url_canon"] for r in blocked.collect()] == ["http://h0.test/p/q/z"]
+
+
+def test_allow_rules_reach_the_crawl_engine(spark, tmp_path):
+    """run_crawl with an allow-bearing rules table honors precedence: under
+    Disallow:/ + Allow:/p/1, only /p/1* URLs are fetched and every other
+    frontier entry logs as robots-blocked."""
+    from pyspark.sql import functions as F
+
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import (
+        synth_pages,
+        synth_politeness,
+        synth_seeds,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    synth_pages(spark, 60, n_hosts=1, partitions=2).write.parquet(corpus)
+    pages = spark.read.parquet(corpus)
+    robots = spark.createDataFrame(
+        [("h0.test", "/", False), ("h0.test", "/p/1", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    wd = str(tmp_path / "wd")
+    run_crawl(
+        spark, wd, pages, synth_seeds(spark, 60, n_hosts=1),
+        robots, synth_politeness(spark, 100),
+        CrawlConfig(max_rounds=2, default_budget=100),
+    )
+    log = CrawlState(wd).read_all(spark, "fetch_log")
+    fetched = [r["url_canon"] for r in log.filter(F.col("status") == "fetched").collect()]
+    assert fetched and all("/p/1" in u for u in fetched)
+    assert log.filter(F.col("status") == "robots").count() > 0
+    assert (
+        log.filter((F.col("status") == "robots") & F.col("url_canon").contains("/p/1"))
+        .count() == 0
+    )
+
+
 def test_parse_robots_txt_whole_host_block(spark):
     from data_collector_spark.operators.robots import parse_robots_txt, split_robots
 

@@ -60,6 +60,55 @@ def test_seed_priority_mapping_and_dedup(spark):
     assert seeds == {"http://h.test/x": 0, "http://h.test/y": 5}
 
 
+def test_sitemap_index_resolves_children_from_corpus(spark):
+    """An index fixture + a corpus holding the child sitemaps yields the
+    UNION of the child urlsets as seeds; a child loc missing from the
+    corpus contributes nothing; depth 2 reaches an index-of-index."""
+    child_a = (
+        "<urlset><url><loc>http://h0.test/a1</loc><priority>1.0</priority></url>"
+        "<url><loc>http://h0.test/a2</loc></url></urlset>"
+    )
+    child_b = "<urlset><url><loc>http://h0.test/b1</loc></url></urlset>"
+    corpus = spark.createDataFrame(
+        [
+            ("http://h0.test/sitemap-a.xml", child_a.encode()),
+            ("http://h0.test/sitemap-b.xml", child_b.encode()),
+            # sitemap-c is referenced but was never fetched
+        ],
+        "url_canon string, html binary",
+    )
+    index = INDEX.replace(
+        "</sitemapindex>",
+        "<sitemap><loc>http://h0.test/sitemap-c.xml</loc></sitemap></sitemapindex>",
+    )
+    seeds = {
+        r["url"]: r["priority"]
+        for r in seeds_from_sitemaps(_df(spark, index), corpus=corpus).collect()
+    }
+    assert seeds == {
+        "http://h0.test/a1": 0,
+        "http://h0.test/a2": 5,
+        "http://h0.test/b1": 5,
+    }
+
+    # index-of-index: root -> mid -> child_a, resolvable at depth 2 only
+    mid = "<sitemapindex><sitemap><loc>http://h0.test/sitemap-a-idx.xml</loc></sitemap></sitemapindex>"
+    corpus2 = spark.createDataFrame(
+        [
+            ("http://h0.test/sitemap-mid.xml", mid.encode()),
+            ("http://h0.test/sitemap-a-idx.xml", child_a.encode()),
+        ],
+        "url_canon string, html binary",
+    )
+    root = "<sitemapindex><sitemap><loc>http://h0.test/sitemap-mid.xml</loc></sitemap></sitemapindex>"
+    deep = seeds_from_sitemaps(_df(spark, root), corpus=corpus2)
+    assert {r["url"] for r in deep.collect()} == {
+        "http://h0.test/a1", "http://h0.test/a2"
+    }
+    shallow = seeds_from_sitemaps(_df(spark, root), corpus=corpus2, index_depth=1)
+    assert shallow.count() == 0
+
+
 def test_sitemap_seeds_drive_a_crawl(spark, tmp_path):
     """Seeds built from a sitemap behave exactly like handwritten seeds,
     including the priority ordering inside the politeness window."""

@@ -83,6 +83,66 @@ def test_warc_roundtrip_payload_exact(spark, tmp_path):
     assert a == b
 
 
+def test_gzip_members_parse_identically():
+    """Common Crawl ships .warc.gz with each record an independent gzip
+    member; parsing the gzipped stream must yield exactly the plain-WARC
+    records. A single whole-file gzip stream must parse too."""
+    import gzip
+
+    r1 = _rec(b"http://g.test/1", b"2024-01-02T03:04:05Z", TRICKY_PAYLOAD)
+    r2 = _rec(b"http://g.test/2", b"2024-01-02T03:04:06Z", b"second")
+    plain = list(_parse_warc_bytes(r1 + r2))
+    members = gzip.compress(r1, mtime=0) + gzip.compress(r2, mtime=0)
+    whole = gzip.compress(r1 + r2, mtime=0)
+    for blob in (members, whole):
+        recs = list(_parse_warc_bytes(blob))
+        assert [r["payload"] for r in recs] == [r["payload"] for r in plain]
+        assert [r["headers"] for r in recs] == [r["headers"] for r in plain]
+    # truncated last member: keep the complete records, drop the tail
+    recs = list(_parse_warc_bytes(members[:-20]))
+    assert [r["payload"] for r in recs] == [TRICKY_PAYLOAD]
+
+
+def test_non_warc_file_raises_instead_of_yielding_nothing():
+    with pytest.raises(ValueError, match="not a WARC stream"):
+        list(_parse_warc_bytes(b"PK\x03\x04 definitely a zip"))
+    with pytest.raises(ValueError, match="not a WARC stream"):
+        import gzip
+
+        list(_parse_warc_bytes(gzip.compress(b"<html>not warc</html>", mtime=0)))
+
+
+def test_warc_gz_roundtrip_and_crawl_equivalence(spark, tmp_path):
+    """compress=True writes per-record gzip members, read_warc ingests
+    them, and the payloads survive byte-exactly."""
+    from data_collector_spark.sources.generator import synth_pages
+
+    pages = synth_pages(spark, 60, n_hosts=4, partitions=3)
+    out = str(tmp_path / "gz_archive")
+    n_files = write_warc(pages, out, compress=True)
+    assert 1 <= n_files <= 3
+    import os
+
+    assert all(fn.endswith(".warc.gz") for fn in os.listdir(out))
+    back = read_warc(spark, out + "/*.warc.gz")
+    a = sorted(
+        (r["url_canon"], r["warc_ts"], bytes(r["html"]))
+        for r in pages.select("url_canon", "warc_ts", "html").collect()
+    )
+    b = sorted(
+        (r["url"], r["warc_ts"], bytes(r["html"])) for r in back.collect()
+    )
+    assert a == b
+    # determinism (mtime pinned): same input -> identical .gz bytes
+    out2 = str(tmp_path / "gz_archive2")
+    write_warc(pages, out2, compress=True)
+    for fn in sorted(os.listdir(out)):
+        assert (
+            open(os.path.join(out, fn), "rb").read()
+            == open(os.path.join(out2, fn), "rb").read()
+        ), fn
+
+
 def test_crawl_runs_on_warc_corpus(spark, tmp_path):
     """End-to-end: archive a synthetic corpus as WARC, read it back through
     pages_from_warc, and crawl it — identical fetch log to the parquet
@@ -99,6 +159,8 @@ def test_crawl_runs_on_warc_corpus(spark, tmp_path):
     pages = synth_pages(spark, 80, n_hosts=4, partitions=2)
     warc_dir = str(tmp_path / "warc")
     write_warc(pages, warc_dir)
+    gz_dir = str(tmp_path / "warc_gz")
+    write_warc(pages, gz_dir, compress=True)
     pq_dir = str(tmp_path / "pq")
     pages.write.parquet(pq_dir)
 
@@ -115,8 +177,9 @@ def test_crawl_runs_on_warc_corpus(spark, tmp_path):
             .filter(F.col("status") == "fetched").collect()
         )
 
-    warc_pages = pages_from_warc(spark, warc_dir + "/*.warc")
-    assert go("wd_warc", warc_pages) == go("wd_pq", spark.read.parquet(pq_dir))
+    ref = go("wd_pq", spark.read.parquet(pq_dir))
+    assert go("wd_warc", pages_from_warc(spark, warc_dir + "/*.warc")) == ref
+    assert go("wd_gz", pages_from_warc(spark, gz_dir + "/*.warc.gz")) == ref
 
 
 def test_write_warc_deterministic(spark, tmp_path):
