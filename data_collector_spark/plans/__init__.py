@@ -21,8 +21,7 @@ DRIVER_EXPORT = [
     "embedding_norm_stats",     # embedding stats (higher-order fns)
     "s7_idempotent_insert",     # S7
     "s8_merge_upsert",          # S8/S9/F4
-    "u1_union_distinct",        # U1
-    "u2_except",                # U2/A8
+    "set_ops_suite",            # U1 + U2/A8 + pivot (A9/A10 wide counters)
     # training-data operators (dedup / similarity / text)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -65,6 +64,7 @@ DRIVER_EXPORT = [
     "w2_two_tier_priority",
     "w3_sessionize",
     "w4_daily_budget",          # R2
+    "w5_budget_pools",          # R4 key rotation (driver row since r4)
 ]
 
 assert len(DRIVER_EXPORT) == 50, len(DRIVER_EXPORT)

@@ -1017,6 +1017,79 @@ def u2_except(spark, sf):
     return p.select("p_brand").subtract(p.filter(F.col("p_size") < 30).select("p_brand"))
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "set_ops_suite",
+    """
+    SELECT 'union' AS src, CAST(event_id AS VARCHAR) AS key,
+           CAST(NULL AS BIGINT) AS n_click, CAST(NULL AS BIGINT) AS n_view,
+           CAST(NULL AS BIGINT) AS n_purchase, CAST(NULL AS BIGINT) AS n_signup,
+           CAST(NULL AS BIGINT) AS n_error
+    FROM (SELECT event_id FROM events WHERE event_type = 'purchase'
+          UNION
+          SELECT event_id FROM events WHERE value > 90) u
+    UNION ALL
+    SELECT 'except', p_brand,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (SELECT p_brand FROM part
+          EXCEPT
+          SELECT p_brand FROM part WHERE p_size < 30) e
+    UNION ALL
+    SELECT 'pivot', CAST(user_id AS VARCHAR),
+           count(*) FILTER (WHERE event_type = 'click'),
+           count(*) FILTER (WHERE event_type = 'view'),
+           count(*) FILTER (WHERE event_type = 'purchase'),
+           count(*) FILTER (WHERE event_type = 'signup'),
+           count(*) FILTER (WHERE event_type = 'error')
+    FROM events GROUP BY user_id
+    """,
+)
+def set_ops_suite(spark, sf):
+    """Composed driver row: U1 UNION-distinct + U2 EXCEPT + the pivot
+    (conditional-aggregation) shape in one result, tagged by ``src`` —
+    three branch plans, zero shared shuffles, one value-hashed oracle.
+    Folding U1/U2 here freed a slot in the 50-entry driver surface for
+    ``w5_budget_pools`` (VERDICT r3 stretch); the fine-grained originals
+    (u1_union_distinct / u2_except / pivot_event_type_counts) stay
+    registered for the local parity mirror."""
+    ev = _t(spark, sf, "events")
+    p = _t(spark, sf, "part")
+    nulls = [F.lit(None).cast("long").alias(f"n_{t}") for t in _PIVOT_TYPES]
+    u1 = (
+        ev.filter(F.col("event_type") == "purchase").select("event_id")
+        .unionByName(ev.filter(F.col("value") > 90).select("event_id"))
+        .dropDuplicates()
+        .select(
+            F.lit("union").alias("src"),
+            F.col("event_id").cast("string").alias("key"),
+            *nulls,
+        )
+    )
+    u2 = (
+        p.select("p_brand")
+        .subtract(p.filter(F.col("p_size") < 30).select("p_brand"))
+        .select(F.lit("except").alias("src"), F.col("p_brand").alias("key"), *nulls)
+    )
+    piv = (
+        ev.groupBy("user_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ]
+        )
+        .select(
+            F.lit("pivot").alias("src"),
+            F.col("user_id").cast("string").alias("key"),
+            *[f"n_{t}" for t in _PIVOT_TYPES],
+        )
+    )
+    return u1.unionByName(u2).unionByName(piv)
+
+
 @query(
     "pivot_event_type_counts",
     """
