@@ -226,8 +226,12 @@ def main() -> None:
         scaling_path = artifacts[-1]
         with open(scaling_path) as f:
             s = json.load(f)
-        runs = [s.get("calibrated_run"), s.get("post_hardening_run")]
-        runs = [r for r in runs if r]
+        # any session dict carrying a measured efficiency (key names vary
+        # by round: calibrated_run, heavy_corpus_run_1, ...)
+        runs = [
+            v for _, v in sorted(s.items())
+            if isinstance(v, dict) and "scaling_efficiency" in v
+        ]
         if runs:
             out["scaling"] = {
                 "artifact": os.path.basename(scaling_path),

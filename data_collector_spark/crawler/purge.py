@@ -83,11 +83,15 @@ def purge_urls(
             continue
         upto = _max_round(state, table)
         kept = df.join(F.broadcast(keys), "url_sha1", "left_anti")
-        n_before = df.count()
+        # removed-rows report: ONE column-pruned semi-join count instead of
+        # full count()s before and after the rewrite (VERDICT r3 wrong#4)
+        removed_n = (
+            df.select("url_sha1").join(F.broadcast(keys), "url_sha1", "left_semi").count()
+        )
         # _rewrite_base always targets a fresh dir (generation suffix on
         # same-level rewrites), so reading `df` lazily while writing is safe
         state._rewrite_base(spark, table, upto, kept)
-        removed[table] = n_before - state.read_all(spark, table).count()
+        removed[table] = removed_n
 
     if cfg is not None and cfg.use_bloom:
         bloom_dir = state.bloom_dir()

@@ -114,6 +114,26 @@ def parse_robots_txt(
     )
 
 
+def sitemaps_from_robots(
+    robots_txt: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url): the ``Sitemap:``
+    directives (RFC 9309 §2.3 treats them as host-global, outside any
+    user-agent group — so this is a flat codegen regexp over the body, no
+    fold needed). Feed the urls to the crawl as seeds and, once fetched,
+    the bodies to ``sources.sitemap.seeds_from_sitemaps(corpus=...)`` —
+    robots.txt -> sitemap index -> urlset -> frontier is the standard
+    crawl bootstrap chain."""
+    locs = F.regexp_extract_all(
+        text_col, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), 1
+    )
+    return (
+        robots_txt.select(F.col(host_col).alias("host"), F.explode(locs).alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
 def split_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """-> (allowed, blocked) by RFC 9309 longest-match precedence.
 

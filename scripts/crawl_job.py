@@ -50,6 +50,10 @@ def main() -> None:
                     help="language filter for --training-set (default: keep all)")
     ap.add_argument("--min-quality", type=float, default=0.5,
                     help="quality floor for --training-set")
+    ap.add_argument("--near-dup-resolution", default="greedy",
+                    choices=["greedy", "components"],
+                    help="near-dup pair resolution for --training-set "
+                         "(components = chain-safe min-label propagation)")
     ap.add_argument("--robots", help="robots parquet (host, path_prefix)")
     ap.add_argument("--budgets", help="budgets parquet (host, budget_per_round)")
     ap.add_argument("--rounds", type=int, default=5)
@@ -134,7 +138,8 @@ def main() -> None:
         from data_collector_spark.crawler.webtext import build_training_set
 
         ts = build_training_set(
-            spark, args.workdir, lang=args.lang, min_quality=args.min_quality
+            spark, args.workdir, lang=args.lang, min_quality=args.min_quality,
+            resolution=args.near_dup_resolution,
         ).persist()
         ts.write.mode("overwrite").partitionBy("split").parquet(args.training_set)
         out["training_set"] = {"path": args.training_set, "rows": ts.count()}

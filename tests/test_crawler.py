@@ -266,6 +266,28 @@ def test_all_policies_combined(spark, tmp_path, corpus):
     assert snap(st1) == snap(st2)  # deterministic under the full policy stack
 
 
+def test_link_prededup_modes_equivalent(spark, tmp_path, corpus):
+    """The raw-link pre-dedup is a pure plan change (two-level min == one
+    min): forced on, forced off, and the adaptive gate must all yield an
+    identical fetch log and seen set."""
+    def go(name, mode):
+        wd, _, state = crawl(
+            spark, tmp_path, corpus, name,
+            CrawlConfig(max_rounds=3, link_prededup=mode),
+        )
+        seen = sorted(r["url_sha1"] for r in state.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in state.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched").collect()
+        )
+        return seen, log
+
+    ref = go("lpd_off", False)
+    assert go("lpd_on", True) == ref
+    assert go("lpd_adaptive", None) == ref
+
+
 def test_counters_consistent(spark, tmp_path, corpus):
     _, metrics, state = crawl(spark, tmp_path, corpus, "counters")
     for m in metrics:

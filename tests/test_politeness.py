@@ -162,6 +162,48 @@ def test_daily_budget_caps_first_round_of_window(spark, tmp_path):
     assert [per_round.get(n, 0) for n in range(4)] == [4, 0, 4, 0]
 
 
+def test_host_spend_bootstraps_from_history_on_resume(spark, tmp_path):
+    """ADVICE r3: a checkpoint that predates the running host_spend table
+    (daily budgets enabled mid-crawl, or a pre-r4 workdir) must rebuild
+    the window's spend from its fetch_log rounds on resume — otherwise a
+    mid-window resume forgets prior spend and hosts overshoot the daily
+    budget."""
+    import shutil
+
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import synth_pages
+
+    corpus_dir = str(tmp_path / "bs_corpus")
+    synth_pages(spark, 10, n_hosts=1, links_per_page=2, dead_frac=0.0,
+                partitions=1).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    seeds = pages.select(F.col("url_canon").alias("url")).withColumn(
+        "priority", F.lit(0)
+    )
+    robots = spark.createDataFrame([], "host string, path_prefix string")
+    budgets = spark.createDataFrame([("", 3)], "host string, budget_per_round int")
+    wd = str(tmp_path / "bs_wd")
+    cfg = dict(default_budget=3, daily_budget=5, rounds_per_day=3)
+    # rounds 0-1 spend the whole window allowance (3 + 2)
+    run_crawl(spark, wd, pages, seeds, robots, budgets,
+              CrawlConfig(max_rounds=2, **cfg))
+    # simulate the pre-running-table checkpoint
+    shutil.rmtree(str(tmp_path / "bs_wd" / "host_spend"), ignore_errors=True)
+    # resume into round 2 — still inside the window; without the bootstrap
+    # it would fetch 3 more (8 > the daily 5)
+    run_crawl(spark, wd, pages, seeds, robots, budgets,
+              CrawlConfig(max_rounds=5, **cfg))
+    state = CrawlState(wd)
+    per_round = {
+        r["round"]: r["n"]
+        for r in state.read_all(spark, "fetch_log")
+        .filter(F.col("status").isin("fetched", "dead"))
+        .groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    assert [per_round.get(n, 0) for n in range(5)] == [3, 2, 0, 3, 2]
+
+
 def test_budget_pools_rotate_on_exhaustion(spark):
     """R4 (/root/reference/src/api_keys/key_manager.rs:25-49): k pools of
     budget_per_round each — wave size is k x budget, pool 1 drains before

@@ -190,6 +190,51 @@ def test_allow_rules_reach_the_crawl_engine(spark, tmp_path):
     )
 
 
+def test_sitemaps_from_robots_and_bootstrap_chain(spark):
+    """Sitemap: directives are host-global (RFC 9309 §2.3) — extracted
+    regardless of user-agent groups — and chain into seeds via
+    seeds_from_sitemaps(corpus=...): robots.txt -> sitemap -> urlset."""
+    from pyspark.sql import functions as F
+
+    from data_collector_spark.operators.robots import sitemaps_from_robots
+    from data_collector_spark.sources.sitemap import seeds_from_sitemaps
+
+    txt = "\n".join([
+        "Sitemap: http://h0.test/sitemap.xml",
+        "User-agent: otherbot",
+        "Disallow: /x",
+        "sitemap: http://h0.test/sitemap2.xml   ",  # case + trailing space
+        "# Sitemap: http://h0.test/commented.xml",
+    ])
+    df = spark.createDataFrame([("h0.test", txt)], "host string, robots_txt string")
+    maps = {r["sitemap_url"] for r in sitemaps_from_robots(df).collect()}
+    assert maps == {"http://h0.test/sitemap.xml", "http://h0.test/sitemap2.xml"}
+
+    # full bootstrap: the fetched sitemap bodies (an index + a urlset)
+    # resolve into crawl seeds
+    urlset = "<urlset><url><loc>http://h0.test/page1</loc></url></urlset>"
+    index = ("<sitemapindex><sitemap><loc>http://h0.test/child.xml</loc>"
+             "</sitemap></sitemapindex>")
+    corpus = spark.createDataFrame(
+        [
+            ("http://h0.test/sitemap.xml", index.encode()),
+            ("http://h0.test/child.xml", urlset.encode()),
+            ("http://h0.test/sitemap2.xml",
+             b"<urlset><url><loc>http://h0.test/page2</loc></url></urlset>"),
+        ],
+        "url_canon string, html binary",
+    )
+    docs = (
+        spark.createDataFrame(
+            [(u,) for u in sorted(maps)], "url_canon string"
+        )
+        .join(corpus, "url_canon")
+        .select(F.col("html").cast("string").alias("sitemap_xml"))
+    )
+    seeds = {r["url"] for r in seeds_from_sitemaps(docs, corpus=corpus).collect()}
+    assert seeds == {"http://h0.test/page1", "http://h0.test/page2"}
+
+
 def test_parse_robots_txt_whole_host_block(spark):
     from data_collector_spark.operators.robots import parse_robots_txt, split_robots
 
