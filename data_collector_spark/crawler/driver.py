@@ -87,14 +87,19 @@ class CrawlConfig:
     # None = detect duplicate captures with one corpus scan at crawl
     # start; True/False skips the scan (e.g. a snapshot known unique)
     corpus_unique_urls: bool | None = None
-    # Pre-dedup of RAW link strings before the canonicalize UDF: a win
-    # exactly when links repeat a lot (real webgraphs: nav bars, hubs),
-    # a measured loss at low duplication (SCALING_r03: -4% at 8 cores on
-    # the 8-links/page corpus). None = adaptive: off for round 0, then on
-    # iff the previous round observed links_extracted/unique-candidates
-    # >= link_prededup_min_dup; True/False forces it
+    # Pre-dedup of RAW link strings before the canonicalize UDF. Measured
+    # (SCALING_r04 link_prededup_ab + 1M-smoke repeats): ON wins +15-30%
+    # whenever the dup factor exceeds ~1.3 — the per-row Python/Arrow cost
+    # it saves far outweighs the JVM groupBy — and the only observed
+    # negative (-4%, SCALING_r03 heavy-page corpus) sits inside that
+    # session's noise band. None = adaptive: ON for round 0 (the winning
+    # prior), then ON iff the previous round observed
+    # links_extracted/unique-candidates >= link_prededup_min_dup — so a
+    # genuinely duplicate-free webgraph stops paying the groupBy from
+    # round 1. True/False forces it (semantics identical either way,
+    # pinned by test_link_prededup_modes_equivalent).
     link_prededup: bool | None = None
-    link_prededup_min_dup: float = 2.0
+    link_prededup_min_dup: float = 1.3
     # True = Bloom probes shuffle keys to their shard and read ONLY that
     # shard's bitmap from the checkpoint dir (no whole-filter broadcast —
     # mandatory once the filter outgrows executor memory at 10^10 keys);
@@ -273,8 +278,9 @@ def run_crawl(
         frontier_rows=frontier_rows, dedup_captures=dedup_captures,
     )
     # adaptive link-prededup: round N gates on round N-1's observed raw
-    # link duplication (one driver-side float; no extra jobs)
-    link_dup_factor = 0.0
+    # link duplication (one driver-side float; no extra jobs); None =
+    # no observation yet -> ON (the measured winning prior)
+    link_dup_factor: float | None = None
     for n in range(start, cfg.max_rounds):
         # recrawl mode keeps ticking: an empty frontier refills once the
         # TTL elapses; otherwise an empty frontier means the crawl drained
@@ -283,7 +289,10 @@ def run_crawl(
         link_prededup = (
             cfg.link_prededup
             if cfg.link_prededup is not None
-            else link_dup_factor >= cfg.link_prededup_min_dup
+            else (
+                link_dup_factor is None
+                or link_dup_factor >= cfg.link_prededup_min_dup
+            )
         )
         with events.span("round", f"round={n}", round=n):
             m = run_round(
