@@ -1,4 +1,5 @@
 from data_collector_spark.functions.urls import (  # noqa: F401
+    canonicalize_col,
     canonicalize_series,
     canonicalize_udf,
     canonicalize_url,

@@ -48,6 +48,65 @@ def test_idempotent():
             assert canonicalize_url(expected) == expected
 
 
+ADVERSARIAL = [c[0] for c in CASES if c[0] is not None] + [
+    "\u00a0http://a.b/x\u3000",          # unicode whitespace strip
+    "\t\nhttp://a.b/x \r",
+    "HTTP://\u00dcBER.DE/Path",          # unicode host lowercasing
+    "http://MiXeD.CaSe:80/P?b=2&a=1#f",
+    "http://a.b/p?z&y&x",
+    "http://a.b//",
+    "http://a.b/p///",
+    "http://a.b/p?a=1&",                 # trailing empty param
+    "http://a.b/p?b?c=2&a",              # '?' inside the query
+    "http://a.b:443/x",                  # non-default port for http: kept
+    "https://a.b:80/x",
+    "x1+z.a://h/p",                      # valid scheme syntax, not http(s)
+    "http:///p",                         # empty authority
+    "http://h/p#a#b",
+    "http://h/p?q#frag",
+    "#onlyfrag",
+    "http://h\nx/p",                     # interior newline: no match
+    "://h/p",
+    "http//h/p",
+    "a" * 150,
+]
+
+
+def test_jvm_matches_pandas_reference(spark):
+    """canonicalize_col (codegen) must agree byte-for-byte with the pandas
+    reference on every adversarial input, including NULL handling."""
+    from pyspark.sql import functions as F
+
+    from data_collector_spark.functions.urls import canonicalize_col
+
+    df = spark.createDataFrame([(u,) for u in ADVERSARIAL] + [(None,)], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_col("url").alias("jvm"),
+        F.pandas_udf(lambda s: canonicalize_series(s), "string")("url").alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r["jvm"] == r["ref"], (r["url"], r["jvm"], r["ref"])
+    # and the JVM form is idempotent through itself
+    canon = [r["jvm"] for r in rows if r["jvm"] is not None]
+    df2 = spark.createDataFrame([(u,) for u in canon], "url string")
+    again = df2.select(canonicalize_col("url").alias("c")).collect()
+    assert [r["c"] for r in again] == canon
+
+
+def test_with_canonical_url_engines_agree(spark):
+    df = spark.createDataFrame([(u,) for u in ADVERSARIAL], "url string")
+    a = sorted(
+        (r["url_canon"], r["url_sha1"], r["host"])
+        for r in with_canonical_url(df, engine="jvm").collect()
+    )
+    b = sorted(
+        (r["url_canon"], r["url_sha1"], r["host"])
+        for r in with_canonical_url(df, engine="pandas").collect()
+    )
+    assert a == b and a
+
+
 def test_with_canonical_url_spark(spark):
     df = spark.createDataFrame(
         [(c[0],) for c in CASES if c[0] is not None], "url string"
