@@ -146,8 +146,22 @@ def canonicalize_col(url: Column | str) -> Column:
         auth0 = F.lower(
             F.when(has_delim, after.substr(F.lit(1), end - 1)).otherwise(after)
         )
-        rest = F.when(has_delim, after.substr(end, F.length(after))).otherwise(
+        rest0 = F.when(has_delim, after.substr(end, F.length(after))).otherwise(
             F.lit("")
+        )
+        # Mirror Python's '$': it matches BEFORE a single string-final
+        # newline, so the pandas reference silently drops exactly one
+        # trailing '\n' from the rest portion ('http://h/p\n#frag' ->
+        # 'http://h/p'). Strip it here so rest_ok only rejects INTERIOR
+        # newlines. NOT applied to the authority: '[^/?#]*' crosses '\n',
+        # so a trailing newline that lands inside the authority is KEPT by
+        # the reference ('http://h\n#f' -> 'http://h\n/') — rest0 is
+        # already '' in that case and stays untouched.
+        rest = _bind(
+            rest0,
+            lambda r: F.when(
+                r.endswith("\n"), r.substr(F.lit(1), F.length(r) - 1)
+            ).otherwise(r),
         )
         return _bind(
             F.struct(auth0.alias("auth0"), rest.alias("rest")),

@@ -24,6 +24,11 @@ CASES = [
     ("  http://example.com/x  ", "http://example.com/x"),
     ("http://example.com:8080/x", "http://example.com:8080/x"),
     ("http://example.com/a?", "http://example.com/a"),
+    # Python-regex '$' matches before ONE string-final newline (ADVICE r4)
+    ("http://h/p\n#frag", "http://h/p"),
+    ("http://h/p?a=1\n#f", "http://h/p?a=1"),
+    ("http://h\n#frag", "http://h\n/"),
+    ("http://h/p\n\n#f", None),
     ("ftp://example.com/x", None),
     ("not a url", None),
     ("", None),
@@ -66,6 +71,15 @@ ADVERSARIAL = [c[0] for c in CASES if c[0] is not None] + [
     "http://h/p?q#frag",
     "#onlyfrag",
     "http://h\nx/p",                     # interior newline: no match
+    # Python-'$' newline semantics (ADVICE r4): one string-final '\n' in
+    # the pre-fragment REST is dropped (matched before by '$'), a trailing
+    # '\n' consumed by the authority class is kept, anything else is NULL
+    "http://h/p\n#frag",                 # -> http://h/p
+    "http://h/p?a=1\n#f",                # -> http://h/p?a=1
+    "http://h\n#frag",                   # auth keeps the '\n'
+    "http://h/\n#f",                     # -> http://h/
+    "http://h/p\n\n#f",                  # two finals: no match -> NULL
+    "http://h/a\nb#f",                   # interior in rest -> NULL
     "://h/p",
     "http//h/p",
     "a" * 150,
