@@ -84,6 +84,11 @@ class CrawlConfig:
     # run as shuffle joins (at cluster scale: storage-partitioned joins on
     # the Iceberg bucket(url_canon) layout) instead of multi-GB broadcasts
     wave_broadcast_max_rows: int = 5_000_000
+    # same gate for the per-host robots rules broadcast: the rules table
+    # is O(hosts) and ungated would OOM executors at web scale; above this
+    # rule count split_robots falls back to a shuffle join on host.
+    # Decided ONCE per crawl (the rules table is crawl-constant)
+    robots_broadcast_max_rows: int = 5_000_000
     # None = detect duplicate captures with one corpus scan at crawl
     # start; True/False skips the scan (e.g. a snapshot known unique)
     corpus_unique_urls: bool | None = None
@@ -220,7 +225,11 @@ def run_crawl(
 
     # ---- once-per-crawl setup (never repeated inside the round loop) ----
     budget_spec = compile_budgets(spark, budgets, cfg.default_budget)
-    robots_rules = robots if robots.limit(1).count() > 0 else None
+    # rule count drives BOTH the emptiness shortcut and the broadcast
+    # gate; one aggregate, once per crawl, never in the round loop
+    n_robots_rules = robots.count()
+    robots_rules = robots if n_robots_rules > 0 else None
+    robots_broadcast = n_robots_rules <= cfg.robots_broadcast_max_rows
     pages_partitions = pages.rdd.getNumPartitions()
     if cfg.corpus_unique_urls is None:
         # one column-pruned scan: do multiple captures of one URL exist?
@@ -311,6 +320,7 @@ def run_crawl(
                 dedup_captures=dedup_captures,
                 bloom_probe_via_files=cfg.bloom_probe_via_files,
                 link_prededup=link_prededup,
+                robots_broadcast=robots_broadcast,
             )
             uniq_cand = m.deduped + m.enqueued
             if uniq_cand > 0:

@@ -193,6 +193,7 @@ def run_round(
     dedup_captures: bool = False,
     bloom_probe_via_files: bool = False,
     link_prededup: bool = False,
+    robots_broadcast: bool = True,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -231,7 +232,7 @@ def run_round(
     )
     frontier_n = frontier_n.filter(F.col("not_before_round") <= round_n)
     if robots is not None:
-        allowed, blocked = split_robots(frontier_n, robots)
+        allowed, blocked = split_robots(frontier_n, robots, broadcast=robots_broadcast)
     else:
         allowed, blocked = frontier_n, None
 

@@ -134,7 +134,9 @@ def sitemaps_from_robots(
     )
 
 
-def split_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_robots(
+    frontier: DataFrame, robots: DataFrame, broadcast: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """-> (allowed, blocked) by RFC 9309 longest-match precedence.
 
     ``robots`` is (host, path_prefix[, allow]); a missing ``allow`` column
@@ -142,6 +144,15 @@ def split_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
     shape, and the engine's pre-r4 semantics — '' blocks the whole host).
     frontier needs url_canon + host columns. The longest matching prefix
     decides; a length tie goes to Allow; no match allows.
+
+    ``broadcast`` gates the per-host rules broadcast the same way the
+    engine gates its wave/fetched broadcasts: the rules table is O(hosts)
+    and at web scale (10^8 hosts x parsed rule arrays) a multi-GB
+    unconditional broadcast OOMs executors — above the driver's threshold
+    (CrawlConfig.robots_broadcast_max_rows, decided ONCE per crawl from
+    the rule count) the join runs as a plain shuffle join on host
+    instead. Semantics are identical either way
+    (test_robots.py::test_shuffle_mode_matches_broadcast_mode).
     """
     if "allow" not in robots.columns:
         robots = robots.withColumn("allow", F.lit(False))
@@ -167,7 +178,7 @@ def split_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
         )
     )
     joined = (
-        frontier.join(F.broadcast(rules), "host", "left")
+        frontier.join(F.broadcast(rules) if broadcast else rules, "host", "left")
         .withColumn("_path", F.coalesce(path, F.lit("/")))
         .withColumn(
             "_blocked",

@@ -190,6 +190,94 @@ def test_allow_rules_reach_the_crawl_engine(spark, tmp_path):
     )
 
 
+def test_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast=False (the above-gate web-scale path) must produce the
+    identical allowed/blocked split — mirror of the wave gate's
+    test_broadcast_gate_preserves_semantics."""
+    from data_collector_spark.operators.robots import parse_robots_txt, split_robots
+
+    txt = "User-agent: *\nDisallow: /\nAllow: /public/"
+    rules = parse_robots_txt(
+        spark.createDataFrame([("h0.test", txt)], "host string, robots_txt string")
+    )
+    frontier = fdf(spark, [
+        "http://h0.test/public/a",
+        "http://h0.test/private/a",
+        "http://h0.test/",
+        "http://h1.test/x",
+    ])
+
+    def snap(broadcast):
+        allowed, blocked = split_robots(frontier, rules, broadcast=broadcast)
+        return (
+            sorted(r["url_canon"] for r in allowed.collect()),
+            sorted(r["url_canon"] for r in blocked.collect()),
+        )
+
+    assert snap(True) == snap(False) == (
+        ["http://h0.test/public/a", "http://h1.test/x"],
+        ["http://h0.test/", "http://h0.test/private/a"],
+    )
+
+
+def test_shuffle_mode_plan_has_no_broadcast(spark):
+    """Above the gate the rules side must NOT be planned as a broadcast —
+    pinned with size-based auto-broadcast disabled so the assertion tests
+    the gate, not the optimizer's small-table estimate."""
+    rules = spark.createDataFrame(
+        [("h0.test", "/x", False)], "host string, path_prefix string, allow boolean"
+    )
+    frontier = fdf(spark, ["http://h0.test/x/1", "http://h0.test/y"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled, _ = split_robots(frontier, rules, broadcast=False)
+        bcast, _ = split_robots(frontier, rules, broadcast=True)
+        assert "BroadcastHashJoin" not in shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_robots_gate_preserves_crawl_semantics(spark, tmp_path):
+    """robots_broadcast_max_rows=0 forces the shuffle path through the full
+    engine; fetch log and statuses must match the broadcast path."""
+    from pyspark.sql import functions as F
+
+    from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
+    from data_collector_spark.crawler.state import CrawlState
+    from data_collector_spark.sources.generator import (
+        synth_pages,
+        synth_politeness,
+        synth_seeds,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    synth_pages(spark, 60, n_hosts=2, partitions=2).write.parquet(corpus)
+    pages = spark.read.parquet(corpus)
+    robots = spark.createDataFrame(
+        [("h0.test", "/", False), ("h0.test", "/p/1", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+
+    def snap(name, **cfg_kw):
+        wd = str(tmp_path / name)
+        run_crawl(
+            spark, wd, pages, synth_seeds(spark, 60, n_hosts=2),
+            robots, synth_politeness(spark, 100),
+            CrawlConfig(max_rounds=2, default_budget=100, **cfg_kw),
+        )
+        return sorted(
+            (r["round"], r["host"], r["seq_in_host"] or -1, r["url_canon"], r["status"])
+            for r in CrawlState(wd).read_all(spark, "fetch_log").collect()
+        )
+
+    a = snap("wd_bcast")
+    b = snap("wd_shuffle", robots_broadcast_max_rows=0)
+    assert a == b
+    assert any(r[4] == "robots" for r in a) and any(r[4] == "fetched" for r in a)
+
+
 def test_sitemaps_from_robots_and_bootstrap_chain(spark):
     """Sitemap: directives are host-global (RFC 9309 §2.3) — extracted
     regardless of user-agent groups — and chain into seeds via
