@@ -28,6 +28,8 @@ columns, pure-hash split. Near-dup resolution is selectable:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,7 +65,10 @@ def latest_pages(spark: SparkSession, state: CrawlState) -> DataFrame:
 
 
 def near_dup_losers(
-    near: DataFrame, resolution: str = "greedy", max_iters: int = 20
+    near: DataFrame,
+    resolution: str = "greedy",
+    max_iters: int = 20,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Confirmed near-dup pairs (a_id, b_id with a_id < b_id) -> the
     (doc_id) rows to DROP, per the chosen resolution (module docstring).
@@ -73,6 +78,15 @@ def near_dup_losers(
     neighbors; converged when nothing changes (checked with a LIMIT 1
     existence probe, not a full count). Losers = nodes whose final label
     is not their own id, i.e. everything but each component's minimum.
+
+    Cache hygiene (ADVICE r4): the iteration persists edges + the running
+    labels; the LOSER SET must be materialized BEFORE those caches are
+    released or the caller's lazy anti-join would recompute label
+    partitions through the unpersisted lineage. With ``materialize_path``
+    the losers are written there as parquet and read back (zero caches
+    survive the call — the scale shape, one bounded id table on storage);
+    without it the losers stay persist()-ed and the CALLER owns the
+    eventual unpersist.
     """
     if resolution == "greedy":
         return near.select(F.col("b_id").alias("doc_id")).distinct()
@@ -108,10 +122,19 @@ def near_dup_losers(
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.filter(F.col("label") != F.col("id")).select(
+    losers = labels.filter(F.col("label") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
+    if materialize_path is not None:
+        losers.write.mode("overwrite").parquet(materialize_path)
+        labels.unpersist()
+        edges.unpersist()
+        return near.sparkSession.read.parquet(materialize_path)
+    losers = losers.persist()
+    losers.count()  # materialize through the still-live caches
+    labels.unpersist()
+    edges.unpersist()
+    return losers
 
 
 def build_training_set(
@@ -164,7 +187,18 @@ def build_training_set(
         near = estimated_jaccard(sig, pairs, n_perm=n_perm).filter(
             F.col("jaccard_est") >= near_dup_threshold
         )
-        losers = near_dup_losers(near, resolution, components_max_iters)
+        # components mode materializes its loser set to a side table under
+        # the workdir so no iteration cache outlives this call (the
+        # returned pipeline is lazy — a persisted-DataFrame dependency
+        # would leak for the session, ADVICE r4)
+        losers = near_dup_losers(
+            near, resolution, components_max_iters,
+            materialize_path=(
+                os.path.join(workdir, "_neardup_losers")
+                if resolution == "components"
+                else None
+            ),
+        )
         docs = docs.join(losers, "doc_id", "left_anti")
 
     # 3. feature columns + filters, one fused projection

@@ -144,6 +144,21 @@ def test_components_resolution_in_training_set(spark, crawl_wd):
     assert c_ids == c2
 
 
+def test_components_mode_leaves_no_caches(spark, crawl_wd):
+    """ADVICE r4: the min-label-propagation caches must not outlive
+    build_training_set — the loser set is materialized to a workdir side
+    table, so running AND consuming the pipeline adds zero persistent
+    RDDs to the session."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    ts = build_training_set(
+        spark, crawl_wd, lang=None, min_quality=0.0, resolution="components"
+    )
+    assert ts.count() > 0  # materialize the caller's lazy pipeline too
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+
 def test_latest_capture_wins_under_recrawl(spark, tmp_path):
     """A url re-fetched by the recrawl warden contributes its NEWEST
     round's text exactly once."""
