@@ -2,14 +2,22 @@
 
 Images/audio/video travel as ``binary`` columns with metadata extracted by
 Arrow-batched pandas UDFs over ``mapInPandas`` — the same shape as the
-crawler's html handling. The actual codecs (Pillow/ffmpeg/librosa) are NOT
-in this container, so the decode step is STUBBED:
+crawler's html handling. Image CONTAINER headers are public, fixed-layout
+formats, so ``decode_image`` parses PNG / JPEG / GIF dimensions in pure
+Python (no codec dependency — header fields only, no pixel decode):
 
-- ``decode_image`` raises NotImplementedError (the production seam);
-- ``fake_decode_meta`` is the deterministic stand-in used by tests and
-  queries — it derives (width, height, kind) purely from the byte content,
-  so the Spark-side plumbing (schema, batch shape, partitioning) is real
-  and oracle-checkable even though no pixels are decoded.
+- PNG: 8-byte signature, then the IHDR chunk carries width/height as
+  big-endian u32 at offsets 16..24 (PNG spec §11.2.2);
+- JPEG: walk the FF-prefixed marker segments from SOI to the first SOF_n
+  frame header, whose payload is precision u8, height u16, width u16
+  (ITU-T T.81 §B.2.2);
+- GIF: 'GIF87a'/'GIF89a', then the logical-screen width/height as
+  little-endian u16 at offsets 6..10.
+
+Payloads that are not a recognized image container fall back to
+``fake_decode_meta`` — the deterministic stand-in for codecs that would
+genuinely need external libraries (audio/video duration, pixel data), kept
+so the plumbing stays oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
@@ -23,17 +31,61 @@ META_SCHEMA = "doc_id bigint, n_bytes bigint, width bigint, height bigint, kind 
 
 _KINDS = ["image", "audio", "video"]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF_n frame-header markers (T.81 table B.1); C4/C8/CC are DHT/JPG/DAC,
+# not frame headers
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
 
-def decode_image(payload: bytes):
-    """Production decode seam — requires an image codec, absent here."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/libjpeg, not present in this runtime; "
-        "use fake_decode_meta for the deterministic metadata path"
-    )
+
+def decode_image(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, container) from a PNG/JPEG/GIF header, else None.
+
+    Pure-Python fixed-layout header parse — truncated or malformed
+    payloads return None (callers fall back), never raise."""
+    if payload.startswith(_PNG_SIG):
+        # signature(8) len(4) 'IHDR'(4) width(4) height(4) ...
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return w, h, "png"
+        return None
+    if payload[:2] == b"\xff\xd8":  # SOI
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                # segment: len(2) precision(1) height(2) width(2) ...
+                if i + 9 <= n and seg_len >= 7:
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return w, h, "jpeg"
+                return None
+            if marker == 0xD9 or seg_len < 2:  # EOI / corrupt length
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, "gif"
+    return None
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic (n_bytes, width, height, kind) from raw bytes.
+    """Deterministic (n_bytes, width, height, kind) from raw bytes — the
+    stand-in for non-image payloads (audio/video codecs absent here).
 
     ``kind`` keys off the first *character* codepoint of the UTF-8-decoded
     payload (not the first raw byte): the oracle computes
@@ -46,11 +98,19 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """mapInPandas metadata extraction — one Arrow pass over the binary col."""
+    """mapInPandas metadata extraction — one Arrow pass over the binary
+    col; recognized image containers yield REAL header dimensions and the
+    container name as kind, anything else the deterministic fallback."""
+
+    def meta(payload: bytes) -> tuple[int, int, int, str]:
+        img = decode_image(payload)
+        if img is not None:
+            return len(payload), img[0], img[1], img[2]
+        return fake_decode_meta(payload)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(bytes(b) if b is not None else b"") for b in pdf[bin_col]]
+            metas = [meta(bytes(b) if b is not None else b"") for b in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

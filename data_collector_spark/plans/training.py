@@ -557,23 +557,64 @@ def text_stats_suite(spark, sf):
     "multimodal_meta",
     """
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
-           CASE WHEN octet_length(encode(text)) = 0 THEN 'image'
-                WHEN ascii(substr(text, 1, 1)) % 3 = 0 THEN 'image'
-                WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 23 WHEN 2 THEN 14
+                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN doc_id % 509 + 1
+                ELSE octet_length(encode(text)) % 640 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN doc_id % 389 + 1
+                ELSE octet_length(encode(text)) % 480 END AS BIGINT) AS height,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                ELSE (CASE WHEN octet_length(encode(text)) = 0 THEN 'image'
+                           WHEN ascii(substr(text, 1, 1)) % 3 = 0 THEN 'image'
+                           WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio'
+                           ELSE 'video' END) END AS kind
     FROM documents
     """,
 )
 def multimodal_meta(spark, sf):
     """Binary-column metadata extraction through the real mapInPandas
-    plumbing; the decoder is a deterministic stub (see functions/multimodal)."""
-    d = load_table(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    plumbing. Three quarters of the docs carry SYNTHESIZED real image
+    containers (PNG / JPEG / GIF headers built from pure JVM expressions,
+    dimensions derived from doc_id) that the pure-Python header parser
+    (functions/multimodal.decode_image) must decode back; the rest carry
+    raw text bytes and take the deterministic non-image fallback. The
+    oracle recomputes the dimensions arithmetically — a parser that
+    misreads any header field hash-mismatches."""
+    d = load_table(spark, sf, "documents")
+
+    def be(col, nbytes):  # fixed-width big-endian bytes of a non-negative int
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    def le16(col):
+        return F.unhex(
+            F.concat(
+                F.lpad(F.hex(col % 256), 2, "0"),
+                F.lpad(F.hex((col / 256).cast("bigint") % 256), 2, "0"),
+            )
+        )
+
+    w = (F.col("doc_id") % 509 + 1).cast("bigint")
+    h = (F.col("doc_id") % 389 + 1).cast("bigint")
+    png = F.concat(  # sig + IHDR len/tag + dims + bit-depth/color + CRC = 33 B
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        be(w, 4), be(h, 4),
+        F.lit(b"\x08\x02\x00\x00\x00\x00\x00\x00\x00"),
     )
-    return extract_media_meta(d)
+    jpeg = F.concat(  # SOI + APP0(skipped by the walker) + SOF0 + EOI = 23 B
+        F.lit(b"\xff\xd8\xff\xe0\x00\x04JF\xff\xc0\x00\x0b\x08"),
+        be(h, 2), be(w, 2),
+        F.lit(b"\x01\x01\x11\x00\xff\xd9"),
+    )
+    gif = F.concat(  # header + LE16 logical-screen dims + trailer = 14 B
+        F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00\x3b")
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, jpeg)
+        .when(F.col("doc_id") % 4 == 2, gif)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return extract_media_meta(d.select("doc_id", payload.alias("payload")))
 
 
 @query(
