@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 from data_collector_spark.crawler.driver import CrawlConfig, run_crawl
 from data_collector_spark.crawler.state import CrawlState
+from data_collector_spark.operators.robots import parse_robots_txt
 from data_collector_spark.plans.registry import query
 from data_collector_spark.sources.generator import pages_from_documents
+from data_collector_spark.sources.sitemap import seeds_from_sitemaps
 
 
 # one crawl per (sf, rounds) serves every crawl-derived query in a driver
@@ -43,14 +45,66 @@ def _run_doc_crawl(spark: SparkSession, sf: str, rounds: int = 2) -> CrawlState:
 
 def _run_doc_crawl_uncached(spark: SparkSession, sf: str, rounds: int) -> CrawlState:
     pages = pages_from_documents(spark, sf, n_hosts=10)
-    seeds = (
-        pages.select(F.col("url_canon").alias("url"))
-        .orderBy("url")
-        .limit(10)
-        .withColumn("priority", F.lit(0))
+    # seeds bootstrap through the standard chain (robots.txt-style sitemap
+    # index -> child urlset -> seed table) so sitemap-index recursion runs
+    # under the driver's correctness gate, not only pytest. The child
+    # urlset carries the same first-10-by-url seed set as before;
+    # sitemap <priority>1.0</priority> maps to frontier priority 0.
+    seed_urls = [
+        r["url"]
+        for r in pages.select(F.col("url_canon").alias("url"))
+        .orderBy("url").limit(10).collect()
+    ]
+    # two d8 witnesses so BOTH sides of the Allow/Disallow precedence show
+    # up in the flagship fetch log from round 0: the lexicographically
+    # first /d/1* url (fetchable under Allow: /d/1) and the first other
+    # d8 url (blocked by Disallow: /)
+    d8 = pages.filter(
+        F.col("url_canon").startswith("http://d8.docs.test/")
+    ).select(F.col("url_canon").alias("url"))
+    seed_urls += [
+        r["url"]
+        for r in d8.filter(F.col("url").startswith("http://d8.docs.test/d/1"))
+        .orderBy("url").limit(1).collect()
+    ]
+    seed_urls += [
+        r["url"]
+        for r in d8.filter(~F.col("url").startswith("http://d8.docs.test/d/1"))
+        .orderBy("url").limit(1).collect()
+    ]
+    urlset = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc><priority>1.0</priority></url>" for u in seed_urls
+    ) + "</urlset>"
+    index = (
+        "<sitemapindex><sitemap><loc>http://seeds.docs.test/child.xml</loc>"
+        "</sitemap></sitemapindex>"
     )
-    robots = spark.createDataFrame(
-        [("d9.docs.test", "")], "host string, path_prefix string"
+    sm_corpus = spark.createDataFrame(
+        [("http://seeds.docs.test/child.xml", urlset.encode())],
+        "url_canon string, html binary",
+    )
+    seeds = seeds_from_sitemaps(
+        spark.createDataFrame([(index,)], "sitemap_xml string"), corpus=sm_corpus
+    )
+    # robots arrive as RAW robots.txt BODIES through the RFC 9309 parser:
+    # d9 is the whole-host block (the reference's warden shape via
+    # Disallow: /), d8 exercises Allow/Disallow longest-match precedence
+    # (only /d/1* fetchable) plus agent-group selection — so the parser
+    # and precedence semantics sit inside the DuckDB-oracled
+    # crawl_invariants gate
+    robots = parse_robots_txt(
+        spark.createDataFrame(
+            [
+                ("d9.docs.test", "User-agent: *\nDisallow: /"),
+                (
+                    "d8.docs.test",
+                    "User-agent: dcs-bot\nDisallow: /\nAllow: /d/1\n\n"
+                    "User-agent: otherbot\nDisallow: /d/1",
+                ),
+            ],
+            "host string, robots_txt string",
+        ),
+        agent="dcs-bot",
     )
     budgets = spark.createDataFrame(
         [("", 50)], "host string, budget_per_round int"
