@@ -18,7 +18,12 @@ Stages (all lazy until the writes):
     join falls back to a shuffle join — at cluster scale the pages table
     is Iceberg-bucketed by url_canon, so that join becomes a
     storage-partitioned join (no pages shuffle) rather than an
-    executor-OOM-sized broadcast.
+    executor-OOM-sized broadcast. PINNED, not just claimed: against a
+    bucketBy(url_canon) pages table the above-gate join plans with zero
+    Exchange on the pages side (test_plan_quality.py::
+    test_fetch_join_bucketed_pages_no_exchange) and the full crawl over
+    that layout is byte-equivalent to the broadcast path
+    (test_crawler.py::test_bucketed_corpus_above_gate_matches_broadcast).
  5. extract text + links, one Arrow pass     (S3/F12 + byte-identical rule)
  6. within-round dedup (groupBy url_sha1, deterministic min) then
     Bloom-prefiltered anti-join vs seen      (J5/S7)

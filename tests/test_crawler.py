@@ -222,6 +222,39 @@ def test_broadcast_gate_preserves_semantics(spark, tmp_path, corpus):
     assert snap(st_b) == snap(st_s)
 
 
+def test_bucketed_corpus_above_gate_matches_broadcast(spark, tmp_path, corpus):
+    """The cluster-scale above-gate layout end-to-end: the corpus served
+    from a url_canon-bucketed TABLE (the Iceberg bucket(url_canon)
+    stand-in) with wave_broadcast_max_rows=0 must reproduce the broadcast
+    crawl exactly. The companion plan property — no Exchange on the pages
+    side of that join — is pinned in
+    test_plan_quality.py::test_fetch_join_bucketed_pages_no_exchange."""
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_crawl")
+    corpus.write.bucketBy(8, "url_canon").sortBy("url_canon").option(
+        "path", str(tmp_path / "pages_bucketed_crawl")
+    ).saveAsTable("pages_bucketed_crawl")
+    try:
+        _, _, st_b = crawl(spark, tmp_path, corpus, "bkt_base")
+        _, _, st_t = crawl(
+            spark, tmp_path, spark.table("pages_bucketed_crawl"), "bkt_table",
+            CrawlConfig(max_rounds=3, wave_broadcast_max_rows=0),
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_crawl")
+
+    def snap(st):
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status") == "fetched")
+            .collect()
+        )
+        return seen, log
+
+    assert snap(st_b) == snap(st_t)
+
+
 def test_all_policies_combined(spark, tmp_path, corpus):
     """Feature interaction: linear retries + daily budgets + recrawl TTL
     active at once — the accounting identity, the budget caps, and replay

@@ -130,6 +130,49 @@ def test_fetch_join_broadcasts_wave(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of(j)
 
 
+def test_fetch_join_bucketed_pages_no_exchange(spark, tmp_path):
+    """Above the broadcast gate the fetch join must be storage-partitioned-
+    join-ready: against a pages table bucketed by url_canon, the join
+    plans with NO Exchange on the pages side — only the (bounded) wave
+    side shuffles into the bucket layout. This pins crawler/round.py's
+    cluster-scale claim (the 100 TB corpus is never reshuffled) as a plan
+    property rather than a comment."""
+    from data_collector_spark.sources.generator import synth_pages
+
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_plan")
+    synth_pages(spark, 300, n_hosts=4, partitions=4).write.bucketBy(
+        8, "url_canon"
+    ).sortBy("url_canon").option(
+        "path", str(tmp_path / "pages_bucketed_plan")
+    ).saveAsTable("pages_bucketed_plan")
+    try:
+        pages = spark.table("pages_bucketed_plan").select(
+            "url_canon", "warc_ts", "html"
+        )
+        wave = spark.createDataFrame(
+            [(f"http://h{i % 4}.test/p/{i}", "x" * 40, f"h{i % 4}.test", 0, i)
+             for i in range(40)],
+            "url_canon string, url_sha1 string, host string, depth int, "
+            "seq_in_host int",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the above-gate shape from round.py: NO broadcast hint
+            hits = pages.join(wave, "url_canon", "inner")
+            p = plan_of(hits)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in p, p
+        assert "BroadcastHashJoin" not in p
+        # exactly one shuffle — the wave side entering the bucket layout;
+        # a second Exchange would mean the pages scan is being reshuffled
+        # ("Exchange (n" matches the tree node, not its detail block)
+        assert p.count("Exchange (") == 1, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_plan")
+
+
 def test_fetch_scan_prunes_corpus_columns(spark, tmp_path):
     """The 100 TB corpus scan must read ONLY (url_canon, warc_ts, html) —
     a scan dragging text/lang through a wave join is wrong at any scale.
