@@ -195,10 +195,15 @@ def run_crawl(
     robots: DataFrame,
     budgets: DataFrame,
     cfg: CrawlConfig | None = None,
+    state: CrawlState | None = None,
 ) -> list[RoundMetrics]:
-    """Run (or resume) a crawl to max_rounds or frontier exhaustion."""
+    """Run (or resume) a crawl to max_rounds or frontier exhaustion.
+
+    ``state`` lets a deployment inject a CrawlState carrying a catalog
+    adapter (``CrawlState(workdir, io=...)`` — see state.RoundTableIO for
+    the Iceberg mapping); default is the parquet round-dir scheme."""
     cfg = cfg or CrawlConfig()
-    state = CrawlState(workdir)
+    state = state if state is not None else CrawlState(workdir)
     if state.read() is None:
         init_crawl(spark, state, seeds, cfg)
     else:
@@ -322,6 +327,18 @@ def run_crawl(
                 link_prededup=link_prededup,
                 robots_broadcast=robots_broadcast,
             )
+            # ADVICE r4, documented limit: the denominator is the
+            # POST-canonicalization unique count, so invalid links (NULL
+            # canon) and raw variants collapsing to one canonical URL
+            # inflate the ratio — the factor OVERESTIMATES raw-string
+            # duplication and can hold the gate ON for corpora whose links
+            # are dirty rather than repeated. Accepted: a raw-level
+            # distinct count would need its own observation under the
+            # cand_unique cache (where observes can double-fire), the
+            # failure mode is one avoidable groupBy (perf-only — semantics
+            # are mode-identical, test_link_prededup_modes_equivalent), and
+            # the gate still turns OFF on genuinely unique webgraphs where
+            # both measures agree near 1.0
             uniq_cand = m.deduped + m.enqueued
             if uniq_cand > 0:
                 link_dup_factor = m.links_extracted / uniq_cand

@@ -462,9 +462,12 @@ def run_round(
 
     if bloom is not None:
         if m.enqueued:
-            seen_delta = state.read_round(
-                spark, "seen", round_n + 1, "url_sha1 string, url_canon string"
-            )
+            # the delta just written to seen/round=N+1 is exactly
+            # new_entries (still persisted) — feed the filter build from
+            # the cache instead of re-scanning the parquet it produced
+            # (one fixed per-round job input made free; the written table
+            # stays the durable source of truth for rebuilds)
+            seen_delta = new_entries.select("url_sha1", "url_canon")
             if bloom_probe_via_files:
                 # 10^10-key path: shard groups OR into their own shard file;
                 # no bitmap bytes ever reach (or live on) the driver
@@ -475,11 +478,14 @@ def run_round(
             bloom.save(state.bloom_dir())
     mark("bloom")
 
-    # per-partition lineage: fetched rows per host (bounded: top 50)
+    # per-partition lineage: fetched rows per host (bounded: top 50) — a
+    # dedicated per-round job (column-pruned host scan); marked so the
+    # scaling attribution names it instead of folding it into driver_other
     top = (
         fetched.groupBy("host").count().orderBy(F.desc("count"), "host").limit(50).collect()
     )
     m.per_partition = {r["host"]: r["count"] for r in top}
+    mark("lineage")
 
     wave.unpersist()
     cand_unique.unpersist()

@@ -118,6 +118,10 @@ class ShardedBloom:
         self.m = bits_per_shard
         self.k = k
         self.bitmaps: dict[int, np.ndarray] = {}
+        # shards mutated since the last save(): per-round saves rewrite
+        # only what changed (a round touches few shards; rewriting every
+        # bitmap each round is per-round serial driver cost)
+        self._dirty: set[int] = set()
 
     def _empty(self) -> np.ndarray:
         return np.zeros(self.m // 64, dtype=_U64)
@@ -151,6 +155,7 @@ class ShardedBloom:
                 self.bitmaps[r["shard"]] = self.bitmaps[r["shard"]] | delta
             else:
                 self.bitmaps[r["shard"]] = delta.copy()
+            self._dirty.add(r["shard"])
 
     def add_df_via_files(
         self, df: DataFrame, dirpath: str, sha_col: str = "url_sha1"
@@ -301,7 +306,12 @@ class ShardedBloom:
         os.makedirs(dirpath, exist_ok=True)
         self._write_meta(dirpath)
         for s, b in self.bitmaps.items():
-            np.save(os.path.join(dirpath, f"shard-{s:04d}.npy"), b)
+            path = os.path.join(dirpath, f"shard-{s:04d}.npy")
+            # rewrite only shards dirtied since the last save; the
+            # existence check keeps a save into a FRESH dir complete
+            if s in self._dirty or not os.path.exists(path):
+                np.save(path, b)
+        self._dirty.clear()
 
     def dir_has_shards(self, dirpath: str) -> bool:
         return dir_has_shards(dirpath)

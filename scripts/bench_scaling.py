@@ -84,7 +84,8 @@ run_crawl(spark, wd, pages, seeds, robots, budgets,
 
 t0 = time.monotonic()
 ms = run_crawl(spark, wd, pages, seeds, robots, budgets,
-               CrawlConfig(max_rounds={rounds}, default_budget={budget}))
+               CrawlConfig(max_rounds={rounds}, default_budget={budget},
+                           **{cfg_extra!r}))
 wall = time.monotonic() - t0
 fetched = sum(m.fetched for m in ms)
 deduped = sum(m.deduped for m in ms)
@@ -158,12 +159,13 @@ def run_calibration(cores: int) -> float:
 def run_level(
     cores: int, corpus: str, budget: int, rounds: int, seeds: int,
     repeats: int = 2, local_cluster: bool = False,
+    cfg_extra: dict | None = None,
 ) -> dict:
     best = None
     for _ in range(repeats):
         code = RUN_TEMPLATE.format(
             repo=REPO, cores=cores, corpus=corpus, budget=budget, rounds=rounds,
-            seeds=seeds, local_cluster=local_cluster,
+            seeds=seeds, local_cluster=local_cluster, cfg_extra=cfg_extra or {},
             workdir=tempfile.mkdtemp(prefix=f"dcs_scale_{cores}_", dir=SCRATCH),
         )
         # local-cluster = N single-core executor JVMs (the driver gets a
@@ -206,7 +208,11 @@ def main() -> None:
     ap.add_argument("--corpus-dir", default=None, help="reuse an existing corpus")
     ap.add_argument("--no-calibrate", action="store_true",
                     help="skip the raw-hardware extract-kernel calibration")
+    ap.add_argument("--cfg", default="{}",
+                    help="JSON dict of extra CrawlConfig kwargs for A/B "
+                         "experiments (e.g. '{\"link_prededup\": false}')")
     args = ap.parse_args()
+    cfg_extra = json.loads(args.cfg)
 
     corpus = args.corpus_dir
     if corpus is None:
@@ -226,18 +232,50 @@ print("GENDONE")
                        capture_output=True, text=True)
 
     lc = args.mode == "local-cluster"
-    a = run_level(args.cores_a, corpus, args.budget, args.rounds, args.seeds, args.repeats, lc)
-    b = run_level(args.cores_b, corpus, args.budget, args.rounds, args.seeds, args.repeats, lc)
+    a = run_level(args.cores_a, corpus, args.budget, args.rounds, args.seeds,
+                  args.repeats, lc, cfg_extra)
+    b = run_level(args.cores_b, corpus, args.budget, args.rounds, args.seeds,
+                  args.repeats, lc, cfg_extra)
     ratio = args.cores_b / args.cores_a
     eff = (b["urls_per_sec"] / a["urls_per_sec"]) / ratio
     result = {
         "corpus": {"n_urls": args.n_urls, "n_hosts": args.n_hosts,
-                   "budget": args.budget, "rounds": args.rounds, "dir": corpus},
+                   "budget": args.budget, "rounds": args.rounds, "dir": corpus,
+                   **({"cfg_extra": cfg_extra} if cfg_extra else {})},
         "level_a": a,
         "level_b": b,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass_raw": eff >= 0.8,
+    }
+
+    # per-phase attribution (VERDICT r4 #1): the same RoundMetrics.phase_sec
+    # marks at both core counts name WHERE the ratio is lost — a phase whose
+    # efficiency sits at the kernel ceiling is memory-bus-bound hardware, a
+    # phase far below it is engine structure (serial driver work, fixed job
+    # overhead). driver_other = wall not covered by any phase mark (commit,
+    # recrawl bookkeeping, inter-round driver gaps).
+    def phase_totals(res: dict) -> dict:
+        tot: dict[str, float] = {}
+        for r in res["rounds"]:
+            for k, v in (r.get("phase_sec") or {}).items():
+                tot[k] = tot.get(k, 0.0) + v
+        tot["driver_other"] = max(0.0, res["wall_sec"] - sum(tot.values()))
+        return tot
+
+    pa, pb = phase_totals(a), phase_totals(b)
+    result["phase_attribution"] = {
+        k: {
+            "a_sec": round(pa.get(k, 0.0), 2),
+            "b_sec": round(pb.get(k, 0.0), 2),
+            "efficiency": (
+                round((pa.get(k, 0.0) / pb[k]) / ratio, 3) if pb.get(k) else None
+            ),
+            "b_share": (
+                round(pb.get(k, 0.0) / b["wall_sec"], 3) if b["wall_sec"] else None
+            ),
+        }
+        for k in sorted(set(pa) | set(pb))
     }
     if not args.no_calibrate:
         # hardware ceiling for this workload class on this box: the same
