@@ -114,6 +114,10 @@ class CrawlConfig:
     # histories are compacted into one base dir (state.compact), bounding
     # read_all's per-round file-listing cost over long crawls; 0 = never
     compact_every_rounds: int = 0
+    # persist the salted politeness-window stage so the full-frontier sort
+    # runs once per round (wave + deferred both branch from it); released
+    # before each round returns. False = stateless plans (pre-r5 shape)
+    cache_wave_stage: bool = True
 
     def make_bloom(self):
         if not self.use_bloom:
@@ -326,6 +330,7 @@ def run_crawl(
                 bloom_probe_via_files=cfg.bloom_probe_via_files,
                 link_prededup=link_prededup,
                 robots_broadcast=robots_broadcast,
+                cache_wave_stage=cfg.cache_wave_stage,
             )
             # ADVICE r4, documented limit: the denominator is the
             # POST-canonicalization unique count, so invalid links (NULL

@@ -199,6 +199,7 @@ def run_round(
     bloom_probe_via_files: bool = False,
     link_prededup: bool = False,
     robots_broadcast: bool = True,
+    cache_wave_stage: bool = True,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -244,10 +245,16 @@ def run_round(
     host_caps = None
     if daily_budget > 0 and rounds_per_day > 0:
         host_caps = daily_host_caps(spark, state, round_n, daily_budget, rounds_per_day)
+    # the salted politeness window feeds BOTH the wave (fetch join) and
+    # deferred (frontier write); caching the staged window output runs the
+    # full-frontier sort once per round instead of twice (spill-aware:
+    # MEMORY_AND_DISK, released before the round returns)
+    stage_cache: list = [] if cache_wave_stage else None
     wave, deferred = pop_wave_spec(
         allowed, budget_spec, skew_salt,
         host_caps=host_caps, default_remaining=daily_budget,
         daily_cap=daily_budget, pools=budget_pools,
+        stage_cache=stage_cache,
     )
     wave = wave.persist()
     mark("pop_wave")
@@ -490,5 +497,7 @@ def run_round(
     wave.unpersist()
     cand_unique.unpersist()
     new_entries.unpersist()
+    for df in stage_cache or []:
+        df.unpersist()
     m.wall_sec = round(time.monotonic() - t0, 3)
     return m

@@ -83,6 +83,7 @@ def pop_wave_spec(
     default_remaining: int = 0,
     daily_cap: int = 0,
     pools: int = 1,
+    stage_cache: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (wave with seq_in_host, deferred). Deterministic given the inputs.
 
@@ -103,6 +104,13 @@ def pop_wave_spec(
     the effective per-round budget is pools x per_round and every wave row
     carries ``pool_id`` (which key served it). pools=1 leaves the plan and
     output schema untouched.
+
+    stage_cache: pass a list to persist() the salted-window stage — both
+    returned DataFrames branch from it, and without the cache the heavy
+    w1 sort over the FULL frontier runs once for the wave (fetch join)
+    and again for deferred (frontier write). The persisted DataFrame is
+    appended to the list; the CALLER unpersists after both branches have
+    materialized. None keeps the stateless plan (per-call usage, tests).
     """
     f = frontier
     if spec.bdf is not None:
@@ -134,6 +142,9 @@ def pop_wave_spec(
     salted = f.withColumn("_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(skew_salt)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     staged1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    if stage_cache is not None:
+        staged1 = staged1.persist()
+        stage_cache.append(staged1)
     cand = staged1.filter(F.col("_rn1") <= bmax_eff).drop("_rn1", "_salt")
     trimmed1 = staged1.filter(F.col("_rn1") > bmax_eff)
 

@@ -23,15 +23,27 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     cores: thread count for local[N]; default env SPARK_GRAFT_CPUS or '*'.
-    shuffle_partitions: default 2x cores (local shuffles are cheap, small
-    partitions keep AQE coalescing effective).
+    shuffle_partitions: 4x cores on real cores, 2x once local[N]
+    oversubscribes into SMT (DCS_SHUFFLE_PARTITIONS env overrides).
+    Measured (SCALING_r05 shuffle-mult sweep + 32-thread bench A/B): at 8
+    pinned cores 2 waves/core leaves straggler bubbles at the end of every
+    shuffle stage (crawl wall -13% going 16->32 partitions) and 8x flips
+    to task-launch overhead (+31% at 64); but at local[32] on this
+    2-SMT box 32 slots already oversubscribe ~18 effective cores, so the
+    extra waves only add scheduling overhead (headline 23.3k at 64
+    partitions vs 16.6k at 128). Boundary at 16 = the point where this
+    box's slots stop mapping to real cores; cluster deployments size
+    explicitly per executor topology.
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
         n = (os.cpu_count() or 8) if str(cores) == "*" else int(cores)
-        shuffle_partitions = max(8, 2 * n)
+        env_sp = os.environ.get("DCS_SHUFFLE_PARTITIONS")
+        shuffle_partitions = (
+            int(env_sp) if env_sp else max(8, 4 * n if n <= 16 else 2 * n)
+        )
 
     builder = (
         SparkSession.builder.master(master)

@@ -57,7 +57,10 @@ if {local_cluster!r}:
     import os
     os.environ["SPARK_GRAFT_MASTER"] = f"local-cluster[{{cores}},1,4096]"
     extra["spark.executorEnv.PYTHONPATH"] = {repo!r}
-spark = get_spark("dcs-scaling", cores=cores, extra_conf=extra)
+sp_mult = {shuffle_mult!r}
+spark = get_spark("dcs-scaling", cores=cores,
+                  shuffle_partitions=(sp_mult * cores if sp_mult else None),
+                  extra_conf=extra)
 pages = spark.read.parquet({corpus!r})
 seeds = (pages.select(F.col("url_canon").alias("url")).orderBy("url")
          .limit({seeds}).withColumn("priority", F.lit(0)))
@@ -137,6 +140,47 @@ if __name__ == "__main__":
 """
 
 
+SHUFFLE_CALIB_TEMPLATE = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from data_collector_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("dcs-shuffle-calib", cores={cores})
+# warmup (JIT + shuffle service)
+spark.range(0, 2_000_000, 1, {cores} * 2).groupBy((F.col("id") % 1000).alias("k")).count().count()
+n = 60_000_000
+t0 = time.monotonic()
+# two chained shuffles over string keys — the workload class of the
+# engine's frontier phase (hash, exchange, sort/agg), no Python anywhere
+df = (spark.range(0, n, 1, {cores} * 2)
+      .withColumn("k", F.sha1(F.col("id").cast("string")))
+      .groupBy(F.substring("k", 1, 6).alias("k6")).agg(F.count("*").alias("c"))
+      .groupBy(F.substring("k6", 1, 3).alias("k3")).agg(F.sum("c").alias("c")))
+rows = df.count()
+print("SHUFCALIB", n / (time.monotonic() - t0))
+"""
+
+
+def run_shuffle_calibration(cores: int) -> float:
+    """JVM shuffle-kernel throughput at `cores` pinned cores: the ceiling
+    for the engine's shuffle-bound phases (frontier dedup/anti-join). The
+    pandas extract kernel measures the memory-bus ceiling of UDF work;
+    shuffle work (hash, exchange write/read, sort-agg) has its OWN
+    hardware ceiling on this box — pairing each phase with its own
+    workload-class kernel is what makes the per-phase attribution
+    interpretable."""
+    cpus = ",".join(str(i) for i in range(cores))
+    out = subprocess.run(
+        ["taskset", "-c", cpus, sys.executable, "-c",
+         SHUFFLE_CALIB_TEMPLATE.format(repo=REPO, cores=cores)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SHUFCALIB "):
+            return float(line.split()[1])
+    raise RuntimeError(f"no SHUFCALIB line: {out.stdout[-500:]}")
+
+
 def run_calibration(cores: int) -> float:
     """Raw-hardware throughput of the actual extract kernel under pure
     multiprocessing (no Spark, no JVM) at `cores` pinned cores — the
@@ -159,13 +203,14 @@ def run_calibration(cores: int) -> float:
 def run_level(
     cores: int, corpus: str, budget: int, rounds: int, seeds: int,
     repeats: int = 2, local_cluster: bool = False,
-    cfg_extra: dict | None = None,
+    cfg_extra: dict | None = None, shuffle_mult: int | None = None,
 ) -> dict:
     best = None
     for _ in range(repeats):
         code = RUN_TEMPLATE.format(
             repo=REPO, cores=cores, corpus=corpus, budget=budget, rounds=rounds,
             seeds=seeds, local_cluster=local_cluster, cfg_extra=cfg_extra or {},
+            shuffle_mult=shuffle_mult,
             workdir=tempfile.mkdtemp(prefix=f"dcs_scale_{cores}_", dir=SCRATCH),
         )
         # local-cluster = N single-core executor JVMs (the driver gets a
@@ -211,6 +256,9 @@ def main() -> None:
     ap.add_argument("--cfg", default="{}",
                     help="JSON dict of extra CrawlConfig kwargs for A/B "
                          "experiments (e.g. '{\"link_prededup\": false}')")
+    ap.add_argument("--shuffle-mult", type=int, default=None,
+                    help="shuffle partitions = MULT * cores at each level "
+                         "(default: session factory's max(8, 2*cores))")
     args = ap.parse_args()
     cfg_extra = json.loads(args.cfg)
 
@@ -233,9 +281,9 @@ print("GENDONE")
 
     lc = args.mode == "local-cluster"
     a = run_level(args.cores_a, corpus, args.budget, args.rounds, args.seeds,
-                  args.repeats, lc, cfg_extra)
+                  args.repeats, lc, cfg_extra, args.shuffle_mult)
     b = run_level(args.cores_b, corpus, args.budget, args.rounds, args.seeds,
-                  args.repeats, lc, cfg_extra)
+                  args.repeats, lc, cfg_extra, args.shuffle_mult)
     ratio = args.cores_b / args.cores_a
     eff = (b["urls_per_sec"] / a["urls_per_sec"]) / ratio
     result = {
@@ -286,6 +334,17 @@ print("GENDONE")
         ca = run_calibration(args.cores_a)
         cb = run_calibration(args.cores_b)
         hw_eff = (cb / ca) / ratio
+        sa = run_shuffle_calibration(args.cores_a)
+        sb = run_shuffle_calibration(args.cores_b)
+        shuf_eff = (sb / sa) / ratio
+        result["shuffle_calibration"] = {
+            "kernel": "sha1+2-level string groupBy, pure JVM, 60M rows",
+            "rate_a": round(sa, 0), "rate_b": round(sb, 0),
+            "shuffle_hw_efficiency": round(shuf_eff, 3),
+            "covers": "exchange/sort/agg ceiling — pairs with the "
+                      "frontier_write/fetch_log phases the same way the "
+                      "extract kernel pairs with fetch_extract",
+        }
         result["hw_calibration"] = {
             "kernel": "extract_text+links, pure multiprocessing",
             "rate_a": round(ca, 0), "rate_b": round(cb, 0),

@@ -222,6 +222,34 @@ def test_broadcast_gate_preserves_semantics(spark, tmp_path, corpus):
     assert snap(st_b) == snap(st_s)
 
 
+def test_wave_stage_cache_preserves_semantics(spark, tmp_path, corpus):
+    """cache_wave_stage only changes WHEN the salted window materializes
+    (once, cached) — wave, deferred, ordering, and the seen set must be
+    identical to the stateless-plan shape."""
+    _, m_on, st_on = crawl(spark, tmp_path, corpus, "wsc_on")
+    _, m_off, st_off = crawl(
+        spark, tmp_path, corpus, "wsc_off",
+        CrawlConfig(max_rounds=3, cache_wave_stage=False),
+    )
+
+    def snap(st):
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        log = sorted(
+            (r["round"], r["host"], r["seq_in_host"], r["url_sha1"])
+            for r in st.read_all(spark, "fetch_log")
+            .filter(F.col("status").isin("fetched", "dead"))
+            .collect()
+        )
+        return seen, log
+
+    assert snap(st_on) == snap(st_off)
+    assert [m.deferred_by_politeness for m in m_on] == [
+        m.deferred_by_politeness for m in m_off
+    ]
+    # the cache is released before each round returns
+    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+
+
 def test_bucketed_corpus_above_gate_matches_broadcast(spark, tmp_path, corpus):
     """The cluster-scale above-gate layout end-to-end: the corpus served
     from a url_canon-bucketed TABLE (the Iceberg bucket(url_canon)
