@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 import os
 
-from data_collector_spark.crawler.round import _obs_metrics, run_round
+from data_collector_spark.crawler.round import _n, _obs_metrics, run_round
 from data_collector_spark.crawler.state import (
     FETCH_LOG_SCHEMA,
     CrawlState,
@@ -110,6 +110,17 @@ class CrawlConfig:
     # mandatory once the filter outgrows executor memory at 10^10 keys);
     # False = broadcast all shards (cheaper under ~tens of MB)
     bloom_probe_via_files: bool = False
+    # seen-size ACTIVATION gate for the approximate filter: below this
+    # many seen keys the exact anti-join alone is strictly cheaper and
+    # the filter build/probe/save is pure per-round tax (measured at the
+    # bench corpus: ~9 s of a 43 s 8-core crawl — SCALING r5 bloom A/B).
+    # The filter turns on (built ONCE from the full seen table — the same
+    # path a scheme-mismatch rebuild uses) when the seen count crosses
+    # the threshold, which is exactly when the anti-join's shuffle starts
+    # to need a prefilter; a 10^10-key crawl crosses it in the first
+    # rounds and runs filtered for its whole life. 0 = filter always on
+    # from round 0 (pre-r5 behavior; the filter-machinery tests pin this)
+    bloom_min_seen_rows: int = 2_000_000
     # checkpoint maintenance cadence: every K rounds the seen/fetch_log
     # histories are compacted into one base dir (state.compact), bounding
     # read_all's per-round file-listing cost over long crawls; 0 = never
@@ -170,16 +181,28 @@ def init_crawl(
         )
     )
     state.write_round("frontier", 0, f0)
-    seen0 = state.read_round(spark, "frontier", 0).select("url_sha1", "url_canon")
+    obs0 = Observation()
+    seen0 = (
+        state.read_round(spark, "frontier", 0)
+        .select("url_sha1", "url_canon")
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+    )
     state.write_round("seen", 0, seen0)
-    bloom = cfg.make_bloom()
-    if bloom is not None:
-        if cfg.bloom_probe_via_files:
-            bloom.add_df_via_files(state.read_round(spark, "seen", 0), state.bloom_dir())
-        else:
-            bloom.add_df(state.read_round(spark, "seen", 0))
-            bloom.save(state.bloom_dir())
-    state.commit(-1, None, extra={"initialized": True})
+    n_seen0 = _n(_obs_metrics(obs0), "n")
+    # below the activation gate the filter build is deferred until the
+    # seen set is big enough to need a prefilter (bloom_min_seen_rows);
+    # the driver loop builds it from the full seen table at the crossing
+    if cfg.bloom_min_seen_rows == 0 or n_seen0 >= cfg.bloom_min_seen_rows:
+        bloom = cfg.make_bloom()
+        if bloom is not None:
+            if cfg.bloom_probe_via_files:
+                bloom.add_df_via_files(state.read_round(spark, "seen", 0), state.bloom_dir())
+            else:
+                bloom.add_df(state.read_round(spark, "seen", 0))
+                bloom.save(state.bloom_dir())
+    # seen-row count rides the manifest so resume never re-counts the
+    # table (the activation gate reads it O(1) driver-side)
+    state.commit(-1, None, extra={"initialized": True, "seen_rows": n_seen0})
 
 
 def _frontier_rows_estimate(m: RoundMetrics) -> int:
@@ -233,6 +256,28 @@ def run_crawl(
                 bloom.save(state.bloom_dir())
 
     # ---- once-per-crawl setup (never repeated inside the round loop) ----
+    # seen-size activation gate (bloom_min_seen_rows): the running count
+    # rides the manifest; a legacy checkpoint without it pays ONE count
+    # job at crawl start (the host_spend bootstrap pattern), never in the
+    # loop. _filter_built tracks whether shards hold content — an already
+    # built filter keeps maintaining incrementally regardless of the gate.
+    def _filter_has_content() -> bool:
+        if bloom is None:
+            return False
+        if cfg.bloom_probe_via_files:
+            return bloom.dir_has_shards(state.bloom_dir())
+        return bool(bloom.bitmaps)
+
+    _filter_built = _filter_has_content()
+    # None = unknown (legacy checkpoint, count not needed): tracked
+    # incrementally only when a trustworthy base exists, so a gate-off
+    # crawl can never write a wrong count for a future gated resume
+    seen_rows: int | None = (state.read() or {}).get("seen_rows")
+    if seen_rows is None and (
+        bloom is not None and cfg.bloom_min_seen_rows > 0 and not _filter_built
+    ):
+        seen_all0 = state.read_all(spark, "seen")
+        seen_rows = seen_all0.count() if seen_all0 is not None else 0
     budget_spec = compile_budgets(spark, budgets, cfg.default_budget)
     # rule count drives BOTH the emptiness shortcut and the broadcast
     # gate; one aggregate, once per crawl, never in the round loop
@@ -312,9 +357,28 @@ def run_crawl(
                 or link_dup_factor >= cfg.link_prededup_min_dup
             )
         )
+        # activation crossing: build the filter ONCE from the full seen
+        # table (the scheme-rebuild path), then maintain it incrementally
+        if (
+            bloom is not None
+            and cfg.bloom_min_seen_rows > 0
+            and not _filter_built
+            and (seen_rows or 0) >= cfg.bloom_min_seen_rows
+        ):
+            seen_all_b = state.read_all(spark, "seen")
+            if seen_all_b is not None:
+                if cfg.bloom_probe_via_files:
+                    bloom.add_df_via_files(seen_all_b, state.bloom_dir())
+                else:
+                    bloom.add_df(seen_all_b)
+                    bloom.save(state.bloom_dir())
+            _filter_built = True
+        bloom_for_round = (
+            bloom if (cfg.bloom_min_seen_rows == 0 or _filter_built) else None
+        )
         with events.span("round", f"round={n}", round=n):
             m = run_round(
-                spark, state, pages, robots_rules, budget_spec, bloom, n,
+                spark, state, pages, robots_rules, budget_spec, bloom_for_round, n,
                 skew_salt=cfg.skew_salt,
                 retry_max=cfg.retry_max,
                 retry_backoff=cfg.retry_backoff,
@@ -417,7 +481,14 @@ def run_crawl(
                     state.append_round(
                         "frontier", n + 1, state.read_round(spark, "recrawl", n + 1)
                     )
-            state.commit(n, m)
+            if seen_rows is not None:
+                seen_rows += m.enqueued
+            state.commit(
+                n, m,
+                extra=(
+                    {"seen_rows": seen_rows} if seen_rows is not None else None
+                ),
+            )
             # the running tables only need their current dir after commit
             state.prune_rounds("last_fetch", keep_from=n + 1)
             state.prune_rounds("host_spend", keep_from=n + 1)

@@ -113,7 +113,15 @@ def _run_doc_crawl_uncached(spark: SparkSession, sf: str, rounds: int) -> CrawlS
     # results are read lazily from wd, so defer cleanup to interpreter exit
     atexit.register(shutil.rmtree, wd, ignore_errors=True)
     try:
-        run_crawl(spark, wd, pages, seeds, robots, budgets, CrawlConfig(max_rounds=rounds))
+        # bloom_min_seen_rows=0: the production default defers the seen
+        # filter until the seen set outgrows the exact anti-join (r5 gate),
+        # which a sf-scale crawl never does — forcing it on here keeps the
+        # bloom build/probe machinery inside the DuckDB-oracled
+        # crawl_invariants gate rather than pytest-only
+        run_crawl(
+            spark, wd, pages, seeds, robots, budgets,
+            CrawlConfig(max_rounds=rounds, bloom_min_seen_rows=0),
+        )
     except Exception:
         shutil.rmtree(wd, ignore_errors=True)
         raise

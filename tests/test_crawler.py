@@ -155,7 +155,8 @@ def test_replay_determinism(spark, tmp_path, corpus):
 
 def test_bloom_off_equals_bloom_on(spark, tmp_path, corpus):
     _, _, st_on = crawl(
-        spark, tmp_path, corpus, "bon", CrawlConfig(max_rounds=3, use_bloom=True)
+        spark, tmp_path, corpus, "bon",
+        CrawlConfig(max_rounds=3, use_bloom=True, bloom_min_seen_rows=0),
     )
     _, _, st_off = crawl(
         spark, tmp_path, corpus, "boff", CrawlConfig(max_rounds=3, use_bloom=False)

@@ -210,7 +210,7 @@ def test_crawl_with_cuckoo_matches_bloom(spark, tmp_path):
         run_crawl(
             spark, wd, pages, synth_seeds(spark, 120, n_hosts=4),
             synth_robots(spark), synth_politeness(spark, 4),
-            CrawlConfig(max_rounds=3, **kw),
+            CrawlConfig(max_rounds=3, bloom_min_seen_rows=0, **kw),
         )
         st = CrawlState(wd)
         seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())

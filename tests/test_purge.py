@@ -26,7 +26,7 @@ def _crawl(spark, tmp_path, name, **cfg_kw):
     robots = spark.createDataFrame([], "host string, path_prefix string")
     budgets = spark.createDataFrame([("", 20)], "host string, budget_per_round int")
     wd = str(tmp_path / f"{name}_wd")
-    cfg = CrawlConfig(max_rounds=2, default_budget=20, **cfg_kw)
+    cfg = CrawlConfig(max_rounds=2, default_budget=20, bloom_min_seen_rows=0, **cfg_kw)
     run_crawl(spark, wd, pages, seeds, robots, budgets, cfg)
     return wd, cfg
 
@@ -162,6 +162,7 @@ def test_purge_on_compacted_checkpoint_generation_swap(spark, tmp_path):
     budgets = spark.createDataFrame([("", 20)], "host string, budget_per_round int")
     run_crawl(spark, wd, pages, seeds, robots, budgets,
               CrawlConfig(max_rounds=3, default_budget=20, seen_filter="cuckoo",
+                          bloom_min_seen_rows=0,
                           compact_every_rounds=1))
     assert state.last_committed_round() == 0  # drained; nothing re-run
     assert state.read_all(spark, "seen").count() == before - 4
