@@ -11,6 +11,14 @@ Scale shape: candidates split on the Bloom verdict —
   maybe-seen      -> exact left-anti join against the seen table
 so only (true dups + Bloom false positives) pay the shuffle. With fp ~1%
 the anti-join input shrinks by ~99% for genuinely-new-heavy rounds.
+
+At 10^10 keys the seen side of the exact backstop must never itself be
+reshuffled: stored as Iceberg ``bucket(N, url_sha1)`` (or a bucketBy
+parquet table, the in-sandbox twin) the left-anti plans with zero
+Exchange on the seen scan — only the bounded candidate/suspect side
+shuffles into the bucket layout (pinned by
+test_plan_quality.py::test_seen_anti_join_bucketed_no_exchange, the
+anti-join analog of the fetch-join SPJ pin).
 """
 
 from __future__ import annotations

@@ -26,7 +26,7 @@ Each level runs in its own subprocess (a JVM can't change master). The
 corpus is generated once (deterministic, partition-independent) and read
 from parquet by both runs.
 
-Usage: python scripts/bench_scaling.py [--n-urls 600000] [--update-baseline]
+Usage: python scripts/bench_scaling.py [--n-urls 600000] [--cfg JSON]
 """
 
 from __future__ import annotations

@@ -173,6 +173,50 @@ def test_fetch_join_bucketed_pages_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS pages_bucketed_plan")
 
 
+def test_seen_anti_join_bucketed_no_exchange(spark, tmp_path):
+    """The per-round seen anti-join must be storage-partitioned-join-ready
+    on the SEEN side: against a seen table bucketed by url_sha1 (the
+    Iceberg `bucket(N, url_sha1)` layout operators/seen.py documents),
+    the exact left-anti backstop plans with NO Exchange on the seen scan
+    — only the (bounded) candidate side shuffles into the bucket layout.
+    At 10^10 seen keys this is the difference between reshuffling the
+    entire seen table every round and reshuffling one round's candidates."""
+    from data_collector_spark.operators.seen import dedup_against_seen
+
+    spark.sql("DROP TABLE IF EXISTS seen_bucketed_plan")
+    spark.createDataFrame(
+        [(f"{i:040x}", f"http://h{i % 4}.test/p/{i}") for i in range(400)],
+        "url_sha1 string, url_canon string",
+    ).write.bucketBy(8, "url_sha1").sortBy("url_sha1").option(
+        "path", str(tmp_path / "seen_bucketed_plan")
+    ).saveAsTable("seen_bucketed_plan")
+    try:
+        seen = spark.table("seen_bucketed_plan")
+        cand = spark.createDataFrame(
+            [(f"{i:040x}", f"http://h{i % 4}.test/p/{i}", 1, i, f"h{i % 4}.test",
+              1, 0, 1)
+             for i in range(300, 340)],
+            "url_sha1 string, url_canon string, depth int, discovery_ts long, "
+            "host string, priority int, attempt int, not_before_round int",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the no-filter shape of dedup_against_seen (gate-deferred, or
+            # every candidate a bloom suspect): the exact anti-join backstop
+            out = dedup_against_seen(spark, cand, seen, None)
+            p = plan_of(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in p, p
+        assert "LeftAnti" in p
+        # exactly one shuffle — the candidate side entering the bucket
+        # layout; a second Exchange would mean the seen scan is reshuffled
+        assert p.count("Exchange (") == 1, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_bucketed_plan")
+
+
 def test_fetch_scan_prunes_corpus_columns(spark, tmp_path):
     """The 100 TB corpus scan must read ONLY (url_canon, warc_ts, html) —
     a scan dragging text/lang through a wave join is wrong at any scale.
