@@ -118,6 +118,15 @@ def purge_urls(
                     bf.save(bloom_dir)
             removed["filter_fingerprints"] = -1  # rebuilt, not decremented
 
+    # keep the manifest's running seen count (the r5 activation-gate input)
+    # in step with the rewritten table: a stale-high count would only make
+    # the filter activate early, but the count also feeds O(1) resume
+    # gating forever after, so decrement it by the rows actually removed
+    st = state.read()
+    if st is not None and "seen_rows" in st and removed.get("seen"):
+        st["seen_rows"] = max(0, st["seen_rows"] - removed["seen"])
+        state._write_manifest(st)
+
     keys.unpersist()
     if filter_keys is not None:
         filter_keys.unpersist()

@@ -48,6 +48,9 @@ def test_purge_forgets_and_readmits(spark, tmp_path, seen_filter):
     # state tables forgot the keys
     seen = state.read_all(spark, "seen")
     assert seen.count() == 12
+    # the manifest's running seen count (r5 activation-gate input) tracks
+    # the rewrite, so a future gated resume reads the post-purge size
+    assert (state.read() or {}).get("seen_rows") == 12
     assert seen.filter(F.col("url_sha1").isin(gone)).count() == 0
     assert (
         state.read_all(spark, "pages_out")
