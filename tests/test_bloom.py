@@ -311,3 +311,13 @@ def test_seen_size_gate_defers_then_activates(spark, tmp_path):
     assert (CrawlState(str(tmp_path / "mid_activation")).read() or {}).get(
         "seen_rows"
     ) == len(seen_mid)
+
+    # file-backed probe mode (the 10^10 deployment path): the crossing
+    # builds the shards executor-side via add_df_via_files, results still
+    # identical and shard files present on disk
+    st_f, seen_f, log_f = go(
+        "mid_activation_files", bloom_min_seen_rows=30,
+        bloom_probe_via_files=True,
+    )
+    assert (seen_f, log_f) == (seen_ref, log_ref)
+    assert ShardedBloom.load(st_f.bloom_dir()).bitmaps
