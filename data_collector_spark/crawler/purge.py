@@ -27,6 +27,9 @@ No driver-side key material beyond the caller's purge list handle.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,9 +60,19 @@ def purge_urls(
     when the crawl runs with use_bloom=False).
     """
     state = CrawlState(workdir)
-    keys = purge_keys.select("url_sha1").distinct().persist()
-    keys.count()  # materialize once; reused per table
     removed: dict[str, int] = {}
+
+    # Snapshot the key tables to SCRATCH PARQUET, not a persist(): the
+    # caller's purge_keys (and the confirmed-seen semi-join below) can
+    # carry lineage into the very round dirs the rewrites delete, and a
+    # cache is not storage — lose a cached block mid-purge and Spark
+    # recomputes through paths that no longer exist (code-review r5).
+    # Two bounded key-column writes; the scratch dir dies with the call.
+    scratch = os.path.join(workdir, "_purge_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    keys_path = os.path.join(scratch, "keys")
+    purge_keys.select("url_sha1").distinct().write.parquet(keys_path)
+    keys = spark.read.parquet(keys_path)
 
     # Filter deletion must only see keys the EXACT pre-purge seen table
     # confirms (cuckoo.py's delete_df contract): deleting a never-inserted
@@ -68,13 +81,13 @@ def purge_urls(
     # never-crawled URLs and idempotent re-runs after a crash both hit
     # this, so snapshot the confirmed subset BEFORE the table rewrites.
     pre_seen = state.read_all(spark, "seen")
-    filter_keys = (
-        keys.join(pre_seen.select("url_sha1"), "url_sha1", "left_semi").persist()
-        if pre_seen is not None
-        else None
-    )
-    if filter_keys is not None:
-        filter_keys.count()
+    filter_keys = None
+    if pre_seen is not None:
+        fk_path = os.path.join(scratch, "filter_keys")
+        keys.join(pre_seen.select("url_sha1"), "url_sha1", "left_semi").write.parquet(
+            fk_path
+        )
+        filter_keys = spark.read.parquet(fk_path)
 
     tables = ["seen", "pages_out"] + (["fetch_log"] if purge_log else [])
     for table in tables:
@@ -105,8 +118,6 @@ def purge_urls(
             cf.save(bloom_dir)
         else:
             # Bloom cannot delete: rebuild from the post-purge seen table
-            import shutil
-
             shutil.rmtree(bloom_dir, ignore_errors=True)
             bf = cfg.make_bloom()
             seen_all = state.read_all(spark, "seen")
@@ -119,15 +130,17 @@ def purge_urls(
             removed["filter_fingerprints"] = -1  # rebuilt, not decremented
 
     # keep the manifest's running seen count (the r5 activation-gate input)
-    # in step with the rewritten table: a stale-high count would only make
-    # the filter activate early, but the count also feeds O(1) resume
-    # gating forever after, so decrement it by the rows actually removed
+    # in step with the rewritten table. RECONCILE against the table itself
+    # rather than decrementing by the in-memory delta: a crash between the
+    # seen rewrite and this commit would otherwise leave the count high
+    # forever — the idempotent re-run removes 0 rows, so a delta-based
+    # decrement never fires (code-review r5). One column-pruned count of a
+    # table the purge just rewrote anyway.
     st = state.read()
-    if st is not None and "seen_rows" in st and removed.get("seen"):
-        st["seen_rows"] = max(0, st["seen_rows"] - removed["seen"])
+    if st is not None and "seen_rows" in st and "seen" in removed:
+        post_seen = state.read_all(spark, "seen")
+        st["seen_rows"] = post_seen.count() if post_seen is not None else 0
         state._write_manifest(st)
 
-    keys.unpersist()
-    if filter_keys is not None:
-        filter_keys.unpersist()
+    shutil.rmtree(scratch, ignore_errors=True)
     return removed

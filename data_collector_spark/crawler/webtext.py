@@ -78,6 +78,8 @@ def near_dup_losers(
     neighbors; converged when nothing changes (checked with a LIMIT 1
     existence probe, not a full count). Losers = nodes whose final label
     is not their own id, i.e. everything but each component's minimum.
+    Exhausting ``max_iters`` before convergence raises a RuntimeWarning
+    (partial labels over-keep representatives in wide components).
 
     Cache hygiene (ADVICE r4): the iteration persists edges + the running
     labels; the LOSER SET must be materialized BEFORE those caches are
@@ -102,6 +104,7 @@ def near_dup_losers(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         prop = edges.join(
             labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
@@ -121,7 +124,23 @@ def near_dup_losers(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A component whose diameter exceeds max_iters leaves partial
+        # labels: sub-chain endpoints still carrying their own id would be
+        # silently KEPT as extra "representatives". Surface it — callers
+        # raise max_iters (each extra iteration is one bounded Spark job).
+        import warnings
+
+        warnings.warn(
+            f"near_dup_losers(components): label propagation did not "
+            f"converge within max_iters={max_iters}; some components wider "
+            f"than {max_iters} hops may retain more than one representative. "
+            f"Re-run with a larger max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     losers = labels.filter(F.col("label") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )

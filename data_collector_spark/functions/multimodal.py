@@ -76,10 +76,23 @@ def decode_image(payload: bytes) -> tuple[int, int, str] | None:
                 return None
             i += 2 + seg_len
         return None
-    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+    # GIF is the one magic that is printable ASCII, so a TEXT document
+    # starting with the literal string 'GIF89a' would sniff as an image and
+    # bypass the deterministic fallback (diverging from the oracle). Demand
+    # a plausible container, not just the version string: room for the full
+    # logical-screen descriptor plus trailer (header 6 + LSD 7 + trailer 1
+    # = 14 B minimum), the 0x3B trailer byte closing the stream, and
+    # nonzero screen dimensions.
+    if (
+        payload[:6] in (b"GIF87a", b"GIF89a")
+        and len(payload) >= 14
+        and payload[-1] == 0x3B
+    ):
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
-        return w, h, "gif"
+        if w > 0 and h > 0:
+            return w, h, "gif"
+        return None
     return None
 
 

@@ -63,8 +63,16 @@ def test_decode_jpeg_marker_walk():
 
 def test_decode_gif():
     assert decode_image(gif_bytes(320, 200)) == (320, 200, "gif")
-    assert decode_image(b"GIF87a" + struct.pack("<HH", 5, 6)) == (5, 6, "gif")
+    gif87 = b"GIF87a" + struct.pack("<HH", 5, 6) + b"\x00\x00\x00\x3b"
+    assert decode_image(gif87) == (5, 6, "gif")
     assert decode_image(b"GIF89a\x01") is None                     # truncated
+    # version string alone is NOT a container: the magic is printable
+    # ASCII, so text documents can start with it — demand LSD + trailer
+    assert decode_image(b"GIF87a" + struct.pack("<HH", 5, 6)) is None  # no trailer
+    assert decode_image(b"GIF89a is an image format, not this doc") is None
+    masquerade = b"GIF89a\x00\x00\x05\x00 text ending in a semicolon;"
+    assert decode_image(masquerade) is None                        # zero width
+    assert decode_image(gif_bytes(0, 8)) is None                   # zero dims
 
 
 def test_non_images_fall_through():

@@ -81,6 +81,31 @@ def test_purge_forgets_and_readmits(spark, tmp_path, seen_filter):
     assert removed2["seen"] == 0 and removed2["pages_out"] == 0
 
 
+def test_purge_rerun_reconciles_seen_count_after_crash_window(spark, tmp_path):
+    """Crash window (code-review r5): dying between the seen rewrite and
+    the manifest commit leaves seen_rows overstated, and the re-run removes
+    0 rows — so the count must be RECONCILED against the rewritten table,
+    not decremented by the re-run's (zero) delta."""
+    wd, cfg = _crawl(spark, tmp_path, "crash", seen_filter="cuckoo")
+    state = CrawlState(wd)
+    gone = sorted(
+        r["url_sha1"] for r in state.read_all(spark, "seen").collect()
+    )[:4]
+    gone_df = spark.createDataFrame([(k,) for k in gone], "url_sha1 string")
+    purge_urls(spark, wd, gone_df, cfg=cfg)
+
+    # simulate the crash: restore the pre-purge (overstated) running count
+    st = state.read()
+    st["seen_rows"] = 16
+    state._write_manifest(st)
+
+    # the documented recovery is re-running the purge; it removes nothing
+    # but must still bring the count back in step with the table
+    removed = purge_urls(spark, wd, gone_df, cfg=cfg)
+    assert removed["seen"] == 0
+    assert (state.read() or {}).get("seen_rows") == 12
+
+
 def test_purge_external_list_only_deletes_confirmed_seen(spark, tmp_path):
     """A takedown list can contain never-crawled URLs. Deleting a
     never-inserted key from a cuckoo filter can strip an indistinguishable

@@ -122,6 +122,37 @@ def test_near_dup_losers_chain_semantics(spark):
         near_dup_losers(chain, "magic")
 
 
+def test_components_warns_on_nonconvergence(spark):
+    """A component wider than max_iters hops must NOT pass silently: the
+    partial labeling over-keeps representatives (code-review r5), so the
+    cap-exhaustion path raises a RuntimeWarning the caller can trap."""
+    import warnings
+
+    import pytest as _pytest
+
+    from data_collector_spark.crawler.webtext import near_dup_losers
+
+    # chain a~b~c~d~e: diameter 4, needs >1 min-label rounds end to end
+    chain = _pairs(spark, ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        got = {
+            r["doc_id"]
+            for r in near_dup_losers(chain, "components", max_iters=1).collect()
+        }
+    # partial labels are still a labeling — at minimum the direct b..e
+    # neighbors of the minimum moved; exact content is iteration-dependent
+    assert got <= {"b", "c", "d", "e"}
+
+    # ample budget: converges, keeps exactly the component minimum, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        full = {
+            r["doc_id"]
+            for r in near_dup_losers(chain, "components", max_iters=20).collect()
+        }
+    assert full == {"b", "c", "d", "e"}
+
+
 def test_components_resolution_in_training_set(spark, crawl_wd):
     """components mode keeps at most as many docs as greedy over-keeps,
     stays deterministic, and never keeps two docs from one confirmed
