@@ -48,6 +48,58 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def word_ngrams(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (id, g) word n-grams — the shingle table for overlap-based
+    operators (n-gram Jaccard, benchmark decontamination). Whole-stage
+    codegen: one split + one transform/sequence explode; ``F.get`` (0-based,
+    NULL-safe) instead of ``getItem`` per the ANSI-mode rule. Indices are
+    bounded by the sequence upper end, so no NULL grams are produced."""
+    ws = (
+        docs.filter(F.trim(text_col) != "")
+        .select(id_col, F.split(F.trim(text_col), r"\s+").alias("ws"))
+        .filter(F.size("ws") >= n)
+    )
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.concat_ws(" ", *[F.get("ws", i + k) for k in range(n)]),
+        )
+    )
+    return ws.select(id_col, gram.alias("g")).distinct()
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile eval-overlap rule): docs
+    sharing >= 1 distinct word n-gram (default 13-gram) with any benchmark
+    document, returned as (id, n_hit_grams).
+
+    Scale shape: the benchmark side collapses to its DISTINCT gram set —
+    eval suites are 10^5-10^6 grams, broadcastable next to a 10^10-doc
+    training side, so the probe is a broadcast hash join with no shuffle of
+    the big side (``broadcast_benchmark=False`` falls back to a shuffle
+    join for benchmark corpora beyond the broadcast ceiling, mirroring the
+    engine's gated_broadcast rule). The aggregation is a groupBy on the
+    (already-distinct) hit grams per doc."""
+    tg = word_ngrams(docs, n, id_col, text_col)
+    bg = word_ngrams(benchmark, n, id_col, text_col).select("g").distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
 def minhash_signatures(words: DataFrame, n_perm: int = 32, id_col: str = "doc_id") -> DataFrame:
     """One row per doc: h0..h{P-1} minhash signature (P min-aggregates,
     one shuffle, one md5 per word)."""

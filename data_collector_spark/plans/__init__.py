@@ -33,7 +33,8 @@ DRIVER_EXPORT = [
     "dedup_ngram3_jaccard",
     "ann_cosine_topk",
     "text_stats_suite",         # lang-ID + quality + tokens + fingerprint + F16
-    "training_filter_pipeline",
+    "training_filter_pipeline",  # + 13-gram benchmark decontamination (r5);
+                                 # standalone `decontaminate` stays registry-only
     "training_split",
     # relational §2 rows
     "q1_pricing_summary",       # A-family flagship

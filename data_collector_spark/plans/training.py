@@ -382,6 +382,58 @@ def dedup_ngram3_jaccard(spark, sf):
     )
 
 
+def _ngram_sql_concat(n: int) -> str:
+    """DuckDB fragment building the word n-gram from a 1-based list slice."""
+    return " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+
+
+# benchmark slice for the in-sandbox decontamination queries: a
+# deterministic ~7.7% of the documents table stands in for the held-out
+# eval suite (no external data allowed here); both engines compute it
+# from doc_id so the oracle replays membership exactly
+_DECONTAM_MOD, _DECONTAM_RES, _DECONTAM_N = 13, 7, 13
+
+# shared CTE block (no leading WITH) so the standalone query and the
+# composed pipeline oracle replay the identical gram/slice construction
+_DECONTAM_CTES = rf"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             FROM documents WHERE trim(text) <> ''),
+    grams AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - {_DECONTAM_N - 1}),
+                         i -> {_ngram_sql_concat(_DECONTAM_N)})) AS g
+              FROM toks WHERE len(ws) >= {_DECONTAM_N}),
+    bg AS (SELECT DISTINCT g FROM grams
+           WHERE doc_id % {_DECONTAM_MOD} = {_DECONTAM_RES})
+"""
+
+
+@query(
+    "decontaminate",
+    rf"""
+    WITH {_DECONTAM_CTES}
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM grams g JOIN bg USING (g)
+    WHERE g.doc_id % {_DECONTAM_MOD} <> {_DECONTAM_RES}
+    GROUP BY 1
+    """,
+)
+def decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing >= 1 distinct
+    word-13-gram with the (deterministic, in-corpus) benchmark slice —
+    the GPT-3/Pile eval-overlap rule as a broadcast-gram probe. The
+    oracle replays the gram construction, slice membership, and hit
+    counts exactly."""
+    from data_collector_spark.functions.sketches import contaminated_docs
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % _DECONTAM_MOD == _DECONTAM_RES)
+    train = d.filter(F.col("doc_id") % _DECONTAM_MOD != _DECONTAM_RES)
+    return contaminated_docs(train, bench, n=_DECONTAM_N).select(
+        "doc_id", F.col("n_hit_grams").cast("long").alias("n_hit_grams")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -646,8 +698,13 @@ def embedding_norm_stats(spark, sf):
 
 @query(
     "training_filter_pipeline",
-    r"""
-    WITH kept_ids AS (
+    rf"""
+    WITH {_DECONTAM_CTES},
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (g)
+      WHERE g.doc_id % {_DECONTAM_MOD} <> {_DECONTAM_RES}
+    ),
+    kept_ids AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
     feats AS (
@@ -672,14 +729,22 @@ def embedding_norm_stats(spark, sf):
     SELECT f.doc_id, f.lang_pred, f.quality, CAST(f.n_tok AS BIGINT) AS n_tok
     FROM feats f JOIN kept_ids k ON k.doc_id = f.doc_id
     WHERE f.lang_pred = 'en' AND f.quality >= 0.5 AND f.n_tok BETWEEN 5 AND 100000
+      AND f.doc_id % {_DECONTAM_MOD} <> {_DECONTAM_RES}
+      AND f.doc_id NOT IN (SELECT doc_id FROM contam)
     """,
 )
 def training_filter_pipeline(spark, sf):
     """The composed end-product: exact-dedup survivors filtered to
-    predicted-English, quality >= 0.5, sane token counts — the selection a
-    web-text training pipeline actually ships. One declarative plan: the
-    dedup groupBy and the feature expressions fuse under codegen; the
-    survivor join broadcasts (one id per duplicate group)."""
+    predicted-English, quality >= 0.5, sane token counts, then
+    DECONTAMINATED — the benchmark slice itself is excluded and so is any
+    doc sharing a distinct 13-gram with it (the GPT-3/Pile eval-overlap
+    rule) — the selection a web-text training pipeline actually ships.
+    One declarative plan: the dedup groupBy and the feature expressions
+    fuse under codegen; the survivor join broadcasts (one id per duplicate
+    group); the contamination probe is a broadcast of the benchmark's
+    distinct gram set followed by a left-anti join."""
+    from data_collector_spark.functions.sketches import contaminated_docs
+
     d = load_table(spark, sf, "documents")
     kept = (
         d.groupBy(F.md5("text").alias("_h"))
@@ -692,13 +757,18 @@ def training_filter_pipeline(spark, sf):
         quality_score_col(F.col("text")).alias("quality"),
         token_count_col(F.col("text")).alias("n_tok"),
     )
+    bench = d.filter(F.col("doc_id") % _DECONTAM_MOD == _DECONTAM_RES)
+    train = d.filter(F.col("doc_id") % _DECONTAM_MOD != _DECONTAM_RES)
+    contam = contaminated_docs(train, bench, n=_DECONTAM_N).select("doc_id")
     return (
         feats.join(kept, "doc_id")
         .filter(
             (F.col("lang_pred") == "en")
             & (F.col("quality") >= 0.5)
             & F.col("n_tok").between(5, 100000)
+            & (F.col("doc_id") % _DECONTAM_MOD != _DECONTAM_RES)
         )
+        .join(contam, "doc_id", "left_anti")
         .select("doc_id", "lang_pred", "quality", "n_tok")
     )
 

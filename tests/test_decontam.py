@@ -1,0 +1,63 @@
+"""Benchmark decontamination (13-gram eval-overlap rule): planted
+contamination is caught exactly, near-misses are not, and the
+shuffle-join fallback equals the broadcast probe."""
+
+from pyspark.sql import functions as F
+
+from data_collector_spark.functions.sketches import contaminated_docs, word_ngrams
+
+BENCH_TEXT = " ".join(f"b{i}" for i in range(20))  # 20 words -> 8 13-grams
+
+
+def _docs(spark):
+    # doc 1: copies a 15-word window of the benchmark verbatim -> 3
+    #        13-grams, every one present in the benchmark
+    contaminated = " ".join(f"b{i}" for i in range(2, 17))
+    # doc 2: shares 12 consecutive words (one short of a 13-gram) plus
+    #        noise -> word overlap but ZERO gram overlap
+    near_miss = " ".join(f"b{i}" for i in range(5, 17)) + " zzz " + " ".join(
+        f"c{i}" for i in range(20)
+    )
+    # doc 3: disjoint vocabulary entirely
+    clean = " ".join(f"d{i}" for i in range(30))
+    # doc 4: the full benchmark text repeated (duplicate grams must count
+    #        once: DISTINCT per doc)
+    dup = BENCH_TEXT + " " + BENCH_TEXT
+    return spark.createDataFrame(
+        [(1, contaminated), (2, near_miss), (3, clean), (4, dup)],
+        "doc_id long, text string",
+    )
+
+
+def test_word_ngrams_count_and_bounds(spark):
+    docs = spark.createDataFrame([(1, BENCH_TEXT), (2, "a b c")], "doc_id long, text string")
+    grams = word_ngrams(docs, 13).collect()
+    # 20 words -> 20-13+1 = 8 grams; the 3-word doc yields none
+    assert len(grams) == 8
+    assert all(r["doc_id"] == 1 and len(r["g"].split(" ")) == 13 for r in grams)
+
+
+def test_planted_contamination_is_exact(spark):
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+    hits = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contaminated_docs(_docs(spark), bench, n=13).collect()
+    }
+    # doc 1: window words b2..b16 -> 13-grams starting at b2, b3, b4
+    # doc 4: all 8 benchmark grams, counted once despite the repeat
+    assert hits == {1: 3, 4: 8}
+
+
+def test_shuffle_fallback_matches_broadcast(spark):
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+    docs = _docs(spark)
+    bcast = sorted(map(tuple, contaminated_docs(docs, bench, n=13).collect()))
+    shuf = sorted(
+        map(
+            tuple,
+            contaminated_docs(
+                docs, bench, n=13, broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert bcast == shuf

@@ -81,6 +81,19 @@ def test_minhash_stays_jvm_side(spark, sf_dir):
     assert "md5" in p.lower() or "WholeStageCodegen" in p
 
 
+def test_decontaminate_broadcasts_bench_grams_jvm_side(spark, sf_dir):
+    """The contamination probe broadcasts the benchmark's distinct gram
+    set (never shuffles the training side against it) and the gram
+    construction is pure JVM expressions."""
+    p = plan_of(QUERIES["decontaminate"](spark, sf_dir))
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # the composed pipeline keeps the anti-join + broadcast shape
+    p2 = plan_of(QUERIES["training_filter_pipeline"](spark, sf_dir))
+    assert "PythonUDF" not in p2 and "ArrowEvalPython" not in p2
+    assert "LeftAnti" in p2
+
+
 def test_ann_paths_stay_jvm_side(spark, sf_dir):
     """LSH bucketing and IVF cell assignment are codegen expressions now —
     no Python workers anywhere in the ANN plans."""
