@@ -61,3 +61,53 @@ def quality_score_col(text: Column) -> Column:
 def fingerprint_col(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/MassiveText-style repetition quality signals, word-level
+    (the published rules use lines/paragraphs too; this corpus' text is
+    single-line, so the word and 2-gram variants are the discriminating
+    ones):
+
+    - ``dup_word_frac``  = 1 - distinct words / total words
+    - ``top_2gram_frac`` = occurrences of the most frequent word 2-gram
+      / total 2-grams (0.0 for docs with fewer than 2 words)
+
+    One row per doc with >= 1 word after trim. Everything is exploded
+    word/gram aggregation — two shuffles on doc_id, codegen'd, no Python.
+    High values flag boilerplate/spam for the filter pipeline the same
+    way quality_score_col flags thin text."""
+    ws = (
+        docs.filter(F.trim(text_col) != "")
+        .select(id_col, F.split(F.trim(text_col), r"\s+").alias("ws"))
+    )
+    wstats = (
+        ws.select(id_col, F.explode("ws").alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.count_distinct("w").alias("_nd"),
+        )
+    )
+    grams = ws.filter(F.size("ws") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.concat_ws(" ", F.get("ws", i), F.get("ws", i + 1)),
+            )
+        ).alias("g2"),
+    )
+    gstats = (
+        grams.groupBy(id_col, "g2")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+    )
+    return wstats.join(gstats, id_col, "left").select(
+        id_col,
+        F.round(F.lit(1.0) - F.col("_nd") / F.col("_n"), 4).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("_top") / F.col("_tot"), F.lit(0.0)), 4
+        ).alias("top_2gram_frac"),
+    )

@@ -558,6 +558,37 @@ def text_fingerprint(spark, sf):
 
 
 @query(
+    "text_repetition_stats",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents WHERE trim(text) <> ''),
+         words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         wstats AS (SELECT doc_id, count(*) AS n, count(DISTINCT w) AS nd
+                    FROM words GROUP BY 1),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(ws) - 1),
+                                            i -> ws[i] || ' ' || ws[i+1])) AS g2
+               FROM toks WHERE len(ws) >= 2),
+         gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+         gs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY 1)
+    SELECT w.doc_id,
+           round(1 - nd * 1.0 / n, 4) AS dup_word_frac,
+           round(coalesce(top * 1.0 / tot, 0), 4) AS top_2gram_frac
+    FROM wstats w LEFT JOIN gs USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark, sf):
+    """Gopher/MassiveText repetition filters, word-level (duplicate-word
+    fraction + most-frequent-2-gram fraction) — the boilerplate/spam
+    signals a web-scale quality pass computes next to the stopword
+    heuristics. Exploded-aggregation plan, oracle replays both fractions."""
+    from data_collector_spark.functions.textstats import repetition_stats
+
+    d = load_table(spark, sf, "documents")
+    return repetition_stats(d)
+
+
+@query(
     "text_stats_suite",
     r"""
     SELECT doc_id,
