@@ -63,6 +63,41 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+# PII patterns kept to syntax both regex engines (java.util.regex here,
+# RE2 in the DuckDB oracle) interpret identically: character classes,
+# bounded/unbounded repetition, ASCII \b. Order matters — emails contain
+# dots+digits and IPs contain digits, so the narrower patterns run first
+# and their placeholders hide the consumed spans from the later ones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d ]{7,}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Scrub emails / IPv4 addresses / +international phone runs to typed
+    placeholders — the C4/Dolma-style PII pass, pure regexp_replace chain
+    (codegen, oracle-replayable)."""
+    out = text
+    for pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_hit_count_col(text: Column) -> Column:
+    """How many PII spans redact_pii_col would replace (for audit stats).
+    Counted pattern-by-pattern on the PROGRESSIVELY redacted text, so
+    overlapping classes (IP digits inside a phone-ish run) are counted
+    once, matching the replacement chain exactly."""
+    total = F.lit(0)
+    cur = text
+    for pat, tok in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, tok)
+    return total.cast("long")
+
+
 def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher/MassiveText-style repetition quality signals, word-level
     (the published rules use lines/paragraphs too; this corpus' text is

@@ -558,6 +558,64 @@ def text_fingerprint(spark, sf):
 
 
 @query(
+    "pii_redaction",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+               || CAST(doc_id % 7 AS VARCHAR) || '.example.org or 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 3) % 256 AS VARCHAR) || '.7 call +1 55500'
+               || CAST(doc_id AS VARCHAR) || ' end ' || substr(text, 1, 40) AS s
+      FROM documents
+    ),
+    r1 AS (SELECT doc_id, s,
+                  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                  regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+           FROM synth),
+    r2 AS (SELECT doc_id, c1,
+                  len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                  regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2
+           FROM r1),
+    r3 AS (SELECT doc_id, c1, c2,
+                  len(regexp_extract_all(s2, '\+\d[\d ]{7,}\d\b')) AS c3,
+                  regexp_replace(s2, '\+\d[\d ]{7,}\d\b', '<PHONE>', 'g') AS s3
+           FROM r2)
+    SELECT doc_id, s3 AS redacted, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
+    FROM r3
+    """,
+)
+def pii_redaction(spark, sf):
+    """C4/Dolma-style PII scrub (emails, IPv4, + international phone runs
+    to typed placeholders). The corpus text carries no PII, so the query
+    SYNTHESIZES a deterministic PII-bearing string from doc_id (the same
+    trick multimodal_meta uses for image containers) prepended to a text
+    slice — the oracle replays the construction, the replacement chain,
+    and the per-class hit counts, so a regex divergence between engines
+    hash-mismatches."""
+    from data_collector_spark.functions.textstats import (
+        pii_hit_count_col,
+        redact_pii_col,
+    )
+
+    d = load_table(spark, sf, "documents")
+    i = F.col("doc_id")
+    synth = F.concat(
+        F.lit("contact user"), i.cast("string"),
+        F.lit("@mail"), (i % 7).cast("string"),
+        F.lit(".example.org or 10."), (i % 256).cast("string"),
+        F.lit("."), ((i * 3) % 256).cast("string"),
+        F.lit(".7 call +1 55500"), i.cast("string"),
+        F.lit(" end "), F.substring("text", 1, 40),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii_col(synth).alias("redacted"),
+        pii_hit_count_col(synth).alias("n_pii"),
+    )
+
+
+@query(
     "text_repetition_stats",
     r"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
