@@ -889,6 +889,38 @@ def training_split(spark, sf):
 
 
 @query(
+    "sequence_packing",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+               FROM documents),
+         s AS (SELECT doc_id, n,
+                      CAST(sum(n) OVER (ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM t WHERE n > 0)
+    SELECT doc_id,
+           CAST(cum - n AS BIGINT) AS start_tok,
+           CAST((cum - n) // 2048 AS BIGINT) AS chunk_first,
+           CAST((cum - 1) // 2048 AS BIGINT) AS chunk_last
+    FROM s
+    """,
+)
+def sequence_packing(spark, sf):
+    """Concat-and-chunk sequence packing at max_seq_len 2048: each doc's
+    token span in the deterministic hash-ordered stream and the chunk
+    range it occupies. The engine computes the global prefix sum as the
+    two-pass bucketed decomposition (functions/packing.py — no
+    data-sized single-partition window); the oracle computes it as ONE
+    global window, so the decomposition must be bit-identical."""
+    from data_collector_spark.functions.packing import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    return pack_sequences(d, budget=2048)
+
+
+@query(
     "st_tumbling_window",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
