@@ -169,8 +169,14 @@ def build_training_set(
     train_pct: int = 90,
     resolution: str = "greedy",
     components_max_iters: int = 20,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    max_dup_word_frac: float | None = None,
+    max_top_2gram_frac: float | None = None,
+    pack_budget: int | None = None,
 ) -> DataFrame:
-    """-> (doc_id, url_canon, text, lang_pred, quality, n_tok, split).
+    """-> (doc_id, url_canon, text, lang_pred, quality, n_tok, split
+    [, start_tok, chunk_first, chunk_last]).
 
     Deterministic given the checkpoint: re-running yields the identical
     corpus (hash split, min-id dedup winners, no sampling anywhere).
@@ -179,6 +185,16 @@ def build_training_set(
     'und' for texts with no known markers); ``resolution`` picks the
     near-dup pair resolution (module docstring: "greedy" one-shot vs
     "components" chain-safe min-label propagation).
+
+    Optional stages (all off by default, r5): ``benchmark`` — a
+    (doc_id, text) DataFrame of held-out eval documents; any doc sharing
+    a distinct ``decontam_ngram``-gram with it is dropped (the GPT-3/Pile
+    eval-overlap rule). ``max_dup_word_frac`` / ``max_top_2gram_frac`` —
+    Gopher-style repetition caps (docs above either fraction are
+    boilerplate/spam). ``pack_budget`` — append the concat-and-chunk
+    token span + chunk range columns at that max_seq_len (train split
+    only packs meaningfully, but spans are assigned over the whole
+    corpus so val relocation never perturbs train chunks).
     """
     from data_collector_spark.functions.sketches import (
         estimated_jaccard,
@@ -235,8 +251,41 @@ def build_training_set(
         pred = (F.col("lang_pred") == lang) & pred
     filtered = feats.filter(pred)
 
+    # 3b. optional repetition caps (Gopher word-level rules): one
+    #     exploded-aggregation pass, inner-joined back as extra predicates
+    if max_dup_word_frac is not None or max_top_2gram_frac is not None:
+        from data_collector_spark.functions.textstats import repetition_stats
+
+        rep = repetition_stats(filtered.select("doc_id", "text"))
+        cond = F.lit(True)
+        if max_dup_word_frac is not None:
+            cond = cond & (F.col("dup_word_frac") <= max_dup_word_frac)
+        if max_top_2gram_frac is not None:
+            cond = cond & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        filtered = filtered.join(
+            rep.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        )
+
+    # 3c. optional benchmark decontamination: drop docs sharing a distinct
+    #     n-gram with the eval set (broadcast gram probe)
+    if benchmark is not None:
+        from data_collector_spark.functions.sketches import contaminated_docs
+
+        contam = contaminated_docs(
+            filtered.select("doc_id", "text"), benchmark, n=decontam_ngram
+        ).select("doc_id")
+        filtered = filtered.join(contam, "doc_id", "left_anti")
+
     # 4. deterministic hash split (reshuffle/append-stable, never sample())
     h = word_hash_col(F.col("doc_id"))
-    return filtered.withColumn(
+    out = filtered.withColumn(
         "split", F.when(h % 100 < train_pct, "train").otherwise("val")
     )
+
+    # 5. optional sequence packing: token span + chunk range columns
+    if pack_budget is not None:
+        from data_collector_spark.functions.packing import pack_sequences
+
+        spans = pack_sequences(out.select("doc_id", "text"), budget=pack_budget)
+        out = out.join(spans, "doc_id")
+    return out

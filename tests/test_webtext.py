@@ -45,6 +45,57 @@ def test_training_set_invariants(spark, crawl_wd):
     assert len(ids) == len(set(ids))
 
 
+def test_optional_stages_decontam_repetition_packing(spark, crawl_wd):
+    """The r5 optional stages compose onto the bridge: benchmark
+    decontamination drops the planted doc, repetition caps only shrink
+    the set, and packing appends gap-free token spans."""
+    base = build_training_set(
+        spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1
+    )
+    rows = base.collect()
+    base_ids = {r["doc_id"] for r in rows}
+    victim = min(rows, key=lambda r: r["doc_id"])
+
+    # benchmark = the victim's own text -> its 13-grams collide exactly
+    bench = spark.createDataFrame(
+        [(victim["doc_id"], victim["text"])], "doc_id string, text string"
+    )
+    decon_ids = {
+        r["doc_id"]
+        for r in build_training_set(
+            spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1,
+            benchmark=bench,
+        ).collect()
+    }
+    if victim["n_tok"] >= 13:
+        assert victim["doc_id"] not in decon_ids
+    assert decon_ids <= base_ids
+
+    # repetition caps are pure predicates: subset, and a no-op at 1.0
+    capped = {
+        r["doc_id"]
+        for r in build_training_set(
+            spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1,
+            max_dup_word_frac=1.0, max_top_2gram_frac=1.0,
+        ).collect()
+    }
+    assert capped == base_ids
+
+    # packing: span columns appear, contiguous and gap-free over the set
+    packed = build_training_set(
+        spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1,
+        pack_budget=64,
+    ).collect()
+    assert {r["doc_id"] for r in packed} == base_ids
+    spans = sorted((r["start_tok"], r["start_tok"] + r["n_tok"]) for r in packed)
+    assert spans[0][0] == 0
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+    for r in packed:
+        assert r["chunk_first"] == r["start_tok"] // 64
+        assert r["chunk_last"] == (r["start_tok"] + r["n_tok"] - 1) // 64
+
+
 def test_training_set_deterministic(spark, crawl_wd):
     a = sorted(
         (r["doc_id"], r["split"])
