@@ -50,6 +50,18 @@ def main() -> None:
                     help="language filter for --training-set (default: keep all)")
     ap.add_argument("--min-quality", type=float, default=0.5,
                     help="quality floor for --training-set")
+    ap.add_argument("--benchmark",
+                    help="parquet of held-out eval docs (doc_id, text); "
+                         "training docs sharing a 13-gram are dropped")
+    ap.add_argument("--max-dup-word-frac", type=float, default=None,
+                    help="Gopher repetition cap: drop docs above this "
+                         "duplicate-word fraction")
+    ap.add_argument("--max-top-2gram-frac", type=float, default=None,
+                    help="Gopher repetition cap: drop docs above this "
+                         "top-2-gram fraction")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="append concat-and-chunk token span + chunk range "
+                         "columns at this max_seq_len")
     ap.add_argument("--near-dup-resolution", default="greedy",
                     choices=["greedy", "components"],
                     help="near-dup pair resolution for --training-set "
@@ -137,9 +149,18 @@ def main() -> None:
     if args.training_set:
         from data_collector_spark.crawler.webtext import build_training_set
 
+        bench = (
+            spark.read.parquet(args.benchmark).select("doc_id", "text")
+            if args.benchmark
+            else None
+        )
         ts = build_training_set(
             spark, args.workdir, lang=args.lang, min_quality=args.min_quality,
             resolution=args.near_dup_resolution,
+            benchmark=bench,
+            max_dup_word_frac=args.max_dup_word_frac,
+            max_top_2gram_frac=args.max_top_2gram_frac,
+            pack_budget=args.pack_budget,
         ).persist()
         ts.write.mode("overwrite").partitionBy("split").parquet(args.training_set)
         out["training_set"] = {"path": args.training_set, "rows": ts.count()}
