@@ -353,9 +353,9 @@ def dedup_ngram3_jaccard(spark, sf):
                 F.sequence(F.lit(0), F.size("ws") - 3),
                 lambda i: F.concat_ws(
                     " ",
-                    F.col("ws").getItem(i),
-                    F.col("ws").getItem(i + 1),
-                    F.col("ws").getItem(i + 2),
+                    F.get("ws", i),
+                    F.get("ws", i + 1),
+                    F.get("ws", i + 2),
                 ),
             )
         ).alias("g"),
