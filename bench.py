@@ -233,14 +233,23 @@ def main() -> None:
             if isinstance(v, dict) and "scaling_efficiency" in v
         ]
         if runs:
+            # some recorded runs are raw-only (e.g. the spark-submit
+            # packaging check ships no inline kernels) — report their raw
+            # number but keep them out of the calibrated lists/verdict
+            calibrated = [
+                r for r in runs
+                if "hw_calibration" in r or "pass_calibrated" in r
+            ]
             out["scaling"] = {
                 "artifact": os.path.basename(scaling_path),
                 "raw_efficiency": [r["scaling_efficiency"] for r in runs],
                 "hw_kernel_efficiency": [
-                    r["hw_calibration"]["hw_efficiency"] for r in runs
+                    r["hw_calibration"]["hw_efficiency"]
+                    for r in calibrated if "hw_calibration" in r
                 ],
                 "engine_relative_efficiency": [
-                    r["engine_relative_efficiency"] for r in runs
+                    r["engine_relative_efficiency"]
+                    for r in calibrated if "engine_relative_efficiency" in r
                 ],
                 # raw grades this box (shared-DRAM ceiling); calibrated
                 # grades the engine against that measured ceiling — kept
@@ -251,7 +260,7 @@ def main() -> None:
                 "pass_calibrated": all(
                     r.get("pass_calibrated",
                           r.get("engine_relative_efficiency", 0) >= 0.8)
-                    for r in runs
+                    for r in calibrated
                 ),
             }
     print(json.dumps(out))
