@@ -393,16 +393,19 @@ def _ngram_sql_concat(n: int) -> str:
 # from doc_id so the oracle replays membership exactly
 _DECONTAM_MOD, _DECONTAM_RES, _DECONTAM_N = 13, 7, 13
 
-# shared CTE block (no leading WITH) so the standalone query and the
+# shared CTE blocks (no leading WITH) so the standalone queries and the
 # composed pipeline oracle replay the identical gram/slice construction
-_DECONTAM_CTES = rf"""
+_NGRAM_CTES = rf"""
     toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
              FROM documents WHERE trim(text) <> ''),
     grams AS (SELECT DISTINCT doc_id,
                      unnest(list_transform(
                          generate_series(1, len(ws) - {_DECONTAM_N - 1}),
                          i -> {_ngram_sql_concat(_DECONTAM_N)})) AS g
-              FROM toks WHERE len(ws) >= {_DECONTAM_N}),
+              FROM toks WHERE len(ws) >= {_DECONTAM_N})
+"""
+
+_DECONTAM_CTES = _NGRAM_CTES + rf""",
     bg AS (SELECT DISTINCT g FROM grams
            WHERE doc_id % {_DECONTAM_MOD} = {_DECONTAM_RES})
 """
@@ -885,6 +888,44 @@ def training_split(spark, sf):
     return d.select(
         "doc_id",
         F.when(h % 100 < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@query(
+    "split_leakage_audit",
+    rf"""
+    WITH {_NGRAM_CTES},
+    split AS (SELECT doc_id,
+                     CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                               % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split
+              FROM documents),
+    tg AS (SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+           WHERE split = 'train')
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams
+    FROM grams g JOIN split s USING (doc_id) JOIN tg USING (g)
+    WHERE s.split = 'val'
+    GROUP BY 1
+    """,
+)
+def split_leakage_audit(spark, sf):
+    """Eval-integrity audit: val-split docs sharing a distinct 13-gram
+    with ANY train-split doc (exact dups are removed upstream, but
+    near-dups under the MinHash threshold can straddle the hash split and
+    leak train content into eval). Same broadcast-gram probe as
+    decontamination with the train side as the 'benchmark'."""
+    from data_collector_spark.functions.sketches import (
+        contaminated_docs,
+        word_hash_col,
+    )
+
+    d = load_table(spark, sf, "documents")
+    h = word_hash_col(F.col("doc_id").cast("string"))
+    d = d.withColumn("_split", F.when(h % 100 < 90, "train").otherwise("val"))
+    train = d.filter(F.col("_split") == "train")
+    val = d.filter(F.col("_split") == "val")
+    return contaminated_docs(val, train, n=_DECONTAM_N).select(
+        "doc_id", F.col("n_hit_grams").cast("long").alias("n_leaked_grams")
     )
 
 
