@@ -253,14 +253,24 @@ def main() -> None:
                 ],
                 # raw grades this box (shared-DRAM ceiling); calibrated
                 # grades the engine against that measured ceiling — kept
-                # separate per ADVICE r2, never OR-ed
-                "pass_raw": all(
-                    r.get("pass_raw", r.get("pass", False)) for r in runs
+                # separate per ADVICE r2, never OR-ed. Verdicts are
+                # computed only over runs that recorded one (an ungraded
+                # raw-only run must neither default-fail pass_raw nor let
+                # an empty calibrated set vacuously pass) — null when no
+                # run was graded.
+                "pass_raw": (
+                    all(r.get("pass_raw", r.get("pass", False))
+                        for r in runs
+                        if "pass_raw" in r or "pass" in r)
+                    if any("pass_raw" in r or "pass" in r for r in runs)
+                    else None
                 ),
-                "pass_calibrated": all(
-                    r.get("pass_calibrated",
-                          r.get("engine_relative_efficiency", 0) >= 0.8)
-                    for r in calibrated
+                "pass_calibrated": (
+                    all(r.get("pass_calibrated",
+                              r.get("engine_relative_efficiency", 0) >= 0.8)
+                        for r in calibrated)
+                    if calibrated
+                    else None
                 ),
             }
     print(json.dumps(out))

@@ -192,9 +192,10 @@ def build_training_set(
     eval-overlap rule). ``max_dup_word_frac`` / ``max_top_2gram_frac`` —
     Gopher-style repetition caps (docs above either fraction are
     boilerplate/spam). ``pack_budget`` — append the concat-and-chunk
-    token span + chunk range columns at that max_seq_len (train split
-    only packs meaningfully, but spans are assigned over the whole
-    corpus so val relocation never perturbs train chunks).
+    token span + chunk range columns at that max_seq_len, packed PER
+    SPLIT (train and val are separate streams, so no chunk straddles the
+    split and leaks val tokens into training batches; zero-token docs
+    get NULL spans — packing appends columns, never changes membership).
     """
     from data_collector_spark.functions.sketches import (
         estimated_jaccard,
@@ -251,6 +252,22 @@ def build_training_set(
         pred = (F.col("lang_pred") == lang) & pred
     filtered = feats.filter(pred)
 
+    # Every optional stage below re-reads `filtered` (its aggregation
+    # joins back onto the pipeline), and in greedy mode the near-dedup
+    # lineage above is lazy — composing the stages naively would re-derive
+    # the groupBy + MinHash/LSH chain once PER STAGE. Materialize the
+    # filtered survivors to a workdir side table first (the same pattern
+    # as the components loser set: storage, not a session-leaking cache).
+    if (
+        max_dup_word_frac is not None
+        or max_top_2gram_frac is not None
+        or benchmark is not None
+        or pack_budget is not None
+    ):
+        snap = os.path.join(workdir, "_training_filtered")
+        filtered.write.mode("overwrite").parquet(snap)
+        filtered = spark.read.parquet(snap)
+
     # 3b. optional repetition caps (Gopher word-level rules): one
     #     exploded-aggregation pass, inner-joined back as extra predicates
     if max_dup_word_frac is not None or max_top_2gram_frac is not None:
@@ -282,10 +299,19 @@ def build_training_set(
         "split", F.when(h % 100 < train_pct, "train").otherwise("val")
     )
 
-    # 5. optional sequence packing: token span + chunk range columns
+    # 5. optional sequence packing: token span + chunk range columns.
+    #    Packed PER SPLIT (each split is its own stream) so no chunk ever
+    #    straddles train/val — a straddling chunk would leak val tokens
+    #    into training batches. LEFT join: zero-token docs admitted by
+    #    min_tokens=0 keep their rows with NULL spans (packing appends
+    #    columns, never changes membership).
     if pack_budget is not None:
         from data_collector_spark.functions.packing import pack_sequences
 
-        spans = pack_sequences(out.select("doc_id", "text"), budget=pack_budget)
-        out = out.join(spans, "doc_id")
+        spans = pack_sequences(
+            out.select("doc_id", "text", "split"),
+            budget=pack_budget,
+            partition_col="split",
+        )
+        out = out.join(spans, "doc_id", "left")
     return out

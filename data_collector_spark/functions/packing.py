@@ -39,31 +39,43 @@ def pack_sequences(
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """(id, start_tok, chunk_first, chunk_last) per non-empty doc: the
     doc's position in the concatenated deterministic-order token stream
     and the [first, last] fixed-size chunk it occupies. Docs shorter than
     a chunk share chunks; docs longer than a chunk span several — exactly
-    the GPT-style concat-then-slice layout."""
-    shift = 2 ** (_HASH_BITS - _BUCKET_BITS)
+    the GPT-style concat-then-slice layout.
+
+    ``partition_col`` packs each partition value as its OWN stream
+    (spans restart at 0 per value): pass the split column so train and
+    val never share a chunk — a chunk straddling the split would leak
+    val tokens into training batches."""
     t = docs.select(
+        *([partition_col] if partition_col else []),
         F.col(id_col),
         word_hash_col(F.col(id_col).cast("string")).alias("_h"),
         token_count_col(F.col(text_col)).alias("_n"),
     ).filter(F.col("_n") > 0)
-    t = t.withColumn("_b", (F.col("_h") / F.lit(shift)).cast("long"))
+    # exact integer bucket: top bits of the order hash (shiftright, not a
+    # double division — monotone but boundary-shifting for hashes > 2^53)
+    t = t.withColumn("_b", F.shiftright("_h", _HASH_BITS - _BUCKET_BITS))
+    pcols = [partition_col] if partition_col else []
     # pass 2: intra-bucket cumsum (parallel across buckets)
-    intra = Window.partitionBy("_b").orderBy("_h", id_col)
+    intra = Window.partitionBy("_b", *pcols).orderBy("_h", id_col)
     t = t.withColumn("_cum_in", F.sum("_n").over(intra))
     # pass 3: exclusive offsets over the bounded bucket-totals table
-    totals = t.groupBy("_b").agg(F.sum("_n").alias("_tot"))
+    totals = t.groupBy("_b", *pcols).agg(F.sum("_n").alias("_tot"))
     off_w = (
-        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(*pcols).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if pcols
+        else Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     )  # n_buckets rows total — bounded single-partition window, not data-sized
     offsets = totals.select(
-        "_b", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off")
+        "_b", *pcols, F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off")
     )
-    packed = t.join(F.broadcast(offsets), "_b").select(
+    packed = t.join(F.broadcast(offsets), ["_b", *pcols]).select(
         id_col,
         (F.col("_off") + F.col("_cum_in") - F.col("_n")).alias("start_tok"),
         F.col("_n").alias("_n"),

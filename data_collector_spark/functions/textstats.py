@@ -89,13 +89,27 @@ def pii_hit_count_col(text: Column) -> Column:
     """How many PII spans redact_pii_col would replace (for audit stats).
     Counted pattern-by-pattern on the PROGRESSIVELY redacted text, so
     overlapping classes (IP digits inside a phone-ish run) are counted
-    once, matching the replacement chain exactly."""
-    total = F.lit(0)
-    cur = text
-    for pat, tok in PII_PATTERNS:
-        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
-        cur = F.regexp_replace(cur, pat, tok)
-    return total.cast("long")
+    once, matching the replacement chain exactly. Each redaction stage is
+    referenced twice (count + next replace), so stages bind through
+    ``urls._bind`` — Catalyst re-evaluates bare Column references and a
+    naive chain goes multiplicative (CLAUDE.md)."""
+    from data_collector_spark.functions.urls import _bind
+
+    def _next(i: int):
+        # single-arg lambda on purpose: transform() passes the element
+        # index to two-arg lambdas, which would shadow a default-arg i
+        return lambda nxt: count_from(i + 1, nxt)
+
+    def count_from(i: int, cur: Column) -> Column:
+        c = F.size(F.regexp_extract_all(cur, F.lit(PII_PATTERNS[i][0]), 0))
+        if i == len(PII_PATTERNS) - 1:
+            return c  # the final replace would be dead — never build it
+        return c + _bind(
+            F.regexp_replace(cur, PII_PATTERNS[i][0], PII_PATTERNS[i][1]),
+            _next(i),
+        )
+
+    return _bind(text, lambda t: count_from(0, t)).cast("long")
 
 
 def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):

@@ -34,6 +34,31 @@ def test_spans_are_contiguous_and_cover_the_stream(spark):
         assert r["chunk_first"] <= r["chunk_last"]
 
 
+def test_partitioned_packing_streams_are_independent(spark):
+    """partition_col packs each value as its own stream: identical to
+    packing the filtered subsets separately (so train/val never share a
+    chunk)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 9)),
+          "train" if i % 3 else "val")
+         for i in range(120)],
+        "doc_id long, text string, split string",
+    )
+    joint = pack_sequences(docs, budget=16, partition_col="split")
+    both = {r["doc_id"]: r for r in joint.collect()}
+    for split in ("train", "val"):
+        solo = {
+            r["doc_id"]: r
+            for r in pack_sequences(
+                docs.filter(F.col("split") == split), budget=16
+            ).collect()
+        }
+        for i, r in solo.items():
+            assert (
+                both[i]["start_tok"], both[i]["chunk_first"], both[i]["chunk_last"]
+            ) == (r["start_tok"], r["chunk_first"], r["chunk_last"]), (split, i)
+
+
 def test_packing_is_stable_under_repartition(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 7)))

@@ -81,16 +81,23 @@ def test_optional_stages_decontam_repetition_packing(spark, crawl_wd):
     }
     assert capped == base_ids
 
-    # packing: span columns appear, contiguous and gap-free over the set
+    # packing: span columns appear; each SPLIT is its own gap-free stream
+    # (per-split packing — no chunk may straddle train/val)
     packed = build_training_set(
         spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1,
         pack_budget=64,
     ).collect()
     assert {r["doc_id"] for r in packed} == base_ids
-    spans = sorted((r["start_tok"], r["start_tok"] + r["n_tok"]) for r in packed)
-    assert spans[0][0] == 0
-    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
-        assert e1 == s2
+    for split in ("train", "val"):
+        spans = sorted(
+            (r["start_tok"], r["start_tok"] + r["n_tok"])
+            for r in packed if r["split"] == split
+        )
+        if not spans:
+            continue
+        assert spans[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2
     for r in packed:
         assert r["chunk_first"] == r["start_tok"] // 64
         assert r["chunk_last"] == (r["start_tok"] + r["n_tok"] - 1) // 64
