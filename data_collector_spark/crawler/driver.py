@@ -280,8 +280,11 @@ def run_crawl(
         seen_rows = seen_all0.count() if seen_all0 is not None else 0
     budget_spec = compile_budgets(spark, budgets, cfg.default_budget)
     # rule count drives BOTH the emptiness shortcut and the broadcast
-    # gate; one aggregate, once per crawl, never in the round loop
-    n_robots_rules = robots.count()
+    # gate; once per crawl, never in the round loop — and CAPPED at the
+    # gate (ADVICE r5): limit(max+1).count() answers both questions
+    # without materializing the whole rules plan when robots is the
+    # output of parse_robots_txt over a large corpus
+    n_robots_rules = robots.limit(cfg.robots_broadcast_max_rows + 1).count()
     robots_rules = robots if n_robots_rules > 0 else None
     robots_broadcast = n_robots_rules <= cfg.robots_broadcast_max_rows
     pages_partitions = pages.rdd.getNumPartitions()

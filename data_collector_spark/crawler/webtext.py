@@ -269,18 +269,14 @@ def build_training_set(
         filtered = spark.read.parquet(snap)
 
     # 3b. optional repetition caps (Gopher word-level rules): one
-    #     exploded-aggregation pass, inner-joined back as extra predicates
+    #     exploded-aggregation pass joined back as extra predicates —
+    #     LEFT-join semantics so empty/whitespace-only docs admitted by
+    #     min_tokens=0 pass through (ADVICE r5; pinned in test_textstats)
     if max_dup_word_frac is not None or max_top_2gram_frac is not None:
-        from data_collector_spark.functions.textstats import repetition_stats
+        from data_collector_spark.functions.textstats import apply_repetition_caps
 
-        rep = repetition_stats(filtered.select("doc_id", "text"))
-        cond = F.lit(True)
-        if max_dup_word_frac is not None:
-            cond = cond & (F.col("dup_word_frac") <= max_dup_word_frac)
-        if max_top_2gram_frac is not None:
-            cond = cond & (F.col("top_2gram_frac") <= max_top_2gram_frac)
-        filtered = filtered.join(
-            rep.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        filtered = apply_repetition_caps(
+            filtered, max_dup_word_frac, max_top_2gram_frac
         )
 
     # 3c. optional benchmark decontamination: drop docs sharing a distinct

@@ -160,3 +160,33 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
             F.coalesce(F.col("_top") / F.col("_tot"), F.lit(0.0)), 4
         ).alias("top_2gram_frac"),
     )
+
+
+def apply_repetition_caps(
+    df,
+    max_dup_word_frac: float | None = None,
+    max_top_2gram_frac: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Filter ``df`` by the Gopher repetition caps: docs ABOVE either
+    fraction are dropped, everything else passes. LEFT join against
+    repetition_stats, not semi (ADVICE r5): empty/whitespace-only docs
+    have NO stats row (no words), and "caps only drop docs above either
+    fraction" means a doc with no words must pass — NULL stats coalesce
+    to keep."""
+    rep = repetition_stats(df.select(id_col, text_col), id_col, text_col)
+    cond = F.lit(True)
+    if max_dup_word_frac is not None:
+        cond = cond & F.coalesce(
+            F.col("dup_word_frac") <= max_dup_word_frac, F.lit(True)
+        )
+    if max_top_2gram_frac is not None:
+        cond = cond & F.coalesce(
+            F.col("top_2gram_frac") <= max_top_2gram_frac, F.lit(True)
+        )
+    return (
+        df.join(rep, id_col, "left")
+        .filter(cond)
+        .drop("dup_word_frac", "top_2gram_frac")
+    )

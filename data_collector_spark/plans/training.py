@@ -912,8 +912,12 @@ def split_leakage_audit(spark, sf):
     """Eval-integrity audit: val-split docs sharing a distinct 13-gram
     with ANY train-split doc (exact dups are removed upstream, but
     near-dups under the MinHash threshold can straddle the hash split and
-    leak train content into eval). Same broadcast-gram probe as
-    decontamination with the train side as the 'benchmark'."""
+    leak train content into eval). Same gram probe as decontamination with
+    the train side as the 'benchmark' — but the train side is 90% OF THE
+    CORPUS, not an eval suite, so the broadcast is GATED on its doc count
+    (VERDICT r5 #1: an unconditional broadcast of a corpus split's gram
+    set is a guaranteed executor OOM at 100 TB; above the gate the probe
+    is a shuffle join on g, the correct scale shape)."""
     from data_collector_spark.functions.sketches import (
         contaminated_docs,
         word_hash_col,
@@ -924,7 +928,9 @@ def split_leakage_audit(spark, sf):
     d = d.withColumn("_split", F.when(h % 100 < 90, "train").otherwise("val"))
     train = d.filter(F.col("_split") == "train")
     val = d.filter(F.col("_split") == "val")
-    return contaminated_docs(val, train, n=_DECONTAM_N).select(
+    return contaminated_docs(
+        val, train, n=_DECONTAM_N, broadcast_benchmark="auto"
+    ).select(
         "doc_id", F.col("n_hit_grams").cast("long").alias("n_leaked_grams")
     )
 

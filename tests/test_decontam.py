@@ -61,3 +61,45 @@ def test_shuffle_fallback_matches_broadcast(spark):
         )
     )
     assert bcast == shuf
+
+
+def test_auto_gate_both_regimes_match(spark):
+    """VERDICT r5 #1: the "auto" doc-count gate must pick broadcast below
+    the threshold and shuffle above it, with identical rows either way
+    (the same equivalence contract the robots broadcast gate pins)."""
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+    docs = _docs(spark)
+    expected = sorted(map(tuple, contaminated_docs(docs, bench, n=13).collect()))
+    # gate comfortably above the 1-doc benchmark -> broadcast branch
+    small = sorted(map(tuple, contaminated_docs(
+        docs, bench, n=13, broadcast_benchmark="auto", broadcast_max_docs=10
+    ).collect()))
+    # gate below it -> shuffle branch (the corpus-split regime)
+    large = sorted(map(tuple, contaminated_docs(
+        docs, bench, n=13, broadcast_benchmark="auto", broadcast_max_docs=0
+    ).collect()))
+    assert small == expected
+    assert large == expected
+
+
+def test_auto_gate_plan_shape(spark):
+    """Above the gate the probe plans as a shuffle join (no
+    BroadcastHashJoin for the gram join); below it, broadcast. Auto-
+    broadcast is disabled so the hint — not the tiny test size — decides."""
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+    docs = _docs(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        over = contaminated_docs(
+            docs, bench, n=13, broadcast_benchmark="auto", broadcast_max_docs=0
+        )
+        p_over = over._jdf.queryExecution().executedPlan().toString()
+        under = contaminated_docs(
+            docs, bench, n=13, broadcast_benchmark="auto", broadcast_max_docs=10
+        )
+        p_under = under._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in p_over
+    assert "BroadcastHashJoin" in p_under

@@ -62,3 +62,35 @@ def test_pii_redaction_planted(spark):
     }
     for i, _, want_red, want_n in cases:
         assert got[i] == (want_red, want_n), (i, got[i])
+
+
+def test_repetition_caps_keep_wordless_docs(spark):
+    """ADVICE r5: caps only drop docs ABOVE either fraction — docs with no
+    words (empty / whitespace-only text, admitted by min_tokens=0) have no
+    stats row and must pass through, not vanish in a semi-join."""
+    from data_collector_spark.functions.textstats import apply_repetition_caps
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # empty: no stats row
+            (2, "   "),                   # whitespace-only: no stats row
+            (3, "a b c d e"),             # distinct words: dup_frac 0
+            (4, "spam spam spam spam"),   # dup_word_frac 0.75, top2gram 1.0
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in apply_repetition_caps(
+            df, max_dup_word_frac=0.5, max_top_2gram_frac=0.9
+        ).collect()
+    }
+    assert kept == {1, 2, 3}
+    # caps at 1.0 are a no-op: every doc passes, including the wordless
+    noop = {
+        r["doc_id"]
+        for r in apply_repetition_caps(
+            df, max_dup_word_frac=1.0, max_top_2gram_frac=1.0
+        ).collect()
+    }
+    assert noop == {1, 2, 3, 4}
