@@ -2,9 +2,9 @@
 
 Images/audio/video travel as ``binary`` columns with metadata extracted by
 Arrow-batched pandas UDFs over ``mapInPandas`` — the same shape as the
-crawler's html handling. Image CONTAINER headers are public, fixed-layout
-formats, so ``decode_image`` parses PNG / JPEG / GIF dimensions in pure
-Python (no codec dependency — header fields only, no pixel decode):
+crawler's html handling. CONTAINER headers are public, fixed-layout
+formats, so the decoders parse them in pure Python (no codec dependency —
+header fields only, never pixel/sample data):
 
 - PNG: 8-byte signature, then the IHDR chunk carries width/height as
   big-endian u32 at offsets 16..24 (PNG spec §11.2.2);
@@ -12,12 +12,20 @@ Python (no codec dependency — header fields only, no pixel decode):
   frame header, whose payload is precision u8, height u16, width u16
   (ITU-T T.81 §B.2.2);
 - GIF: 'GIF87a'/'GIF89a', then the logical-screen width/height as
-  little-endian u16 at offsets 6..10.
+  little-endian u16 at offsets 6..10;
+- WAV/RIFF: 'RIFF' + size + 'WAVE', then a chunk walk to the 'fmt '
+  chunk's byte-rate (LE u32 at chunk offset 8) and the 'data' chunk's
+  declared size — duration_ms = data_size * 1000 // byte_rate
+  (RIFF/WAVE is the multimedia RIFF spec's fixed layout);
+- MP4/ISO-BMFF: 'ftyp' major box, then a box walk into 'moov' for the
+  'mvhd' movie header — version 0: timescale BE u32 / duration BE u32 at
+  body offsets 12/16; version 1: BE u32 / BE u64 at 20/24
+  (ISO/IEC 14496-12 §8.2.2). duration_ms = duration * 1000 // timescale.
 
-Payloads that are not a recognized image container fall back to
-``fake_decode_meta`` — the deterministic stand-in for codecs that would
-genuinely need external libraries (audio/video duration, pixel data), kept
-so the plumbing stays oracle-checkable end-to-end.
+Payloads that are no recognized container fall back to
+``fake_decode_meta`` — the deterministic stand-in for payloads that would
+genuinely need codec libraries (pixel data, sample decode), kept so the
+plumbing stays oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
@@ -27,7 +35,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-META_SCHEMA = "doc_id bigint, n_bytes bigint, width bigint, height bigint, kind string"
+META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, "
+    "kind string, duration_ms bigint"
+)
 
 _KINDS = ["image", "audio", "video"]
 
@@ -96,6 +107,88 @@ def decode_image(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def decode_wav(payload: bytes) -> int | None:
+    """duration_ms from a RIFF/WAVE header, else None.
+
+    Chunk walk: 'fmt ' yields the byte rate (avg bytes/sec, LE u32 at
+    chunk-body offset 8), 'data' yields the declared sample-data size.
+    The data bytes themselves need not be present (header-only archives /
+    truncated tails) — the declared size is the metadata. Word-aligned
+    chunk stepping per the RIFF spec (odd sizes pad one byte)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    byte_rate = None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            body = payload[pos + 8 : pos + 8 + size]
+            if size < 16 or len(body) < 16:
+                return None
+            byte_rate = int.from_bytes(body[8:12], "little")
+        elif cid == b"data":
+            if byte_rate:
+                return size * 1000 // byte_rate
+            return None  # data before a valid fmt chunk: malformed
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def decode_mp4(payload: bytes) -> int | None:
+    """duration_ms from an ISO-BMFF (MP4) moov/mvhd box, else None.
+
+    Top-level box walk to 'moov', child walk to 'mvhd'; version 0 carries
+    timescale/duration as BE u32 at body offsets 12/16, version 1 as
+    BE u32/u64 at 20/24 (64-bit create/modify times push them back)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    pos, n = 0, len(payload)
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        if size < 8:
+            return None
+        if payload[pos + 4 : pos + 8] == b"moov":
+            cpos, cend = pos + 8, min(pos + size, n)
+            while cpos + 8 <= cend:
+                csize = int.from_bytes(payload[cpos : cpos + 4], "big")
+                if csize < 8:
+                    return None
+                if payload[cpos + 4 : cpos + 8] == b"mvhd":
+                    body = payload[cpos + 8 : cpos + csize]
+                    if not body:
+                        return None
+                    if body[0] == 0 and len(body) >= 20:
+                        ts = int.from_bytes(body[12:16], "big")
+                        dur = int.from_bytes(body[16:20], "big")
+                    elif body[0] == 1 and len(body) >= 32:
+                        ts = int.from_bytes(body[20:24], "big")
+                        dur = int.from_bytes(body[24:32], "big")
+                    else:
+                        return None
+                    return dur * 1000 // ts if ts > 0 else None
+                cpos += csize
+            return None
+        pos += size
+    return None
+
+
+def decode_media(payload: bytes) -> tuple[str, int | None, int | None, int | None] | None:
+    """(kind, width, height, duration_ms) for any recognized container —
+    images carry dimensions (no duration), audio/video carry duration (no
+    dimensions). None when no container matches (callers fall back)."""
+    img = decode_image(payload)
+    if img is not None:
+        return img[2], img[0], img[1], None
+    dur = decode_wav(payload)
+    if dur is not None:
+        return "wav", None, None, dur
+    dur = decode_mp4(payload)
+    if dur is not None:
+        return "mp4", None, None, dur
+    return None
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic (n_bytes, width, height, kind) from raw bytes — the
     stand-in for non-image payloads (audio/video codecs absent here).
@@ -112,14 +205,17 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """mapInPandas metadata extraction — one Arrow pass over the binary
-    col; recognized image containers yield REAL header dimensions and the
-    container name as kind, anything else the deterministic fallback."""
+    col; recognized containers (PNG/JPEG/GIF images, WAV audio, MP4 video)
+    yield REAL header fields and the container name as kind, anything else
+    the deterministic fallback (dims from byte length, NULL duration)."""
 
-    def meta(payload: bytes) -> tuple[int, int, int, str]:
-        img = decode_image(payload)
-        if img is not None:
-            return len(payload), img[0], img[1], img[2]
-        return fake_decode_meta(payload)
+    def meta(payload: bytes) -> tuple[int, int | None, int | None, str, int | None]:
+        m = decode_media(payload)
+        if m is not None:
+            kind, w, h, dur = m
+            return len(payload), w, h, kind, dur
+        n, w, h, kind = fake_decode_meta(payload)
+        return n, w, h, kind, None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,9 +224,10 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
                 {
                     "doc_id": pdf[id_col].values,
                     "n_bytes": [m[0] for m in metas],
-                    "width": [m[1] for m in metas],
-                    "height": [m[2] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int64"),
                     "kind": [m[3] for m in metas],
+                    "duration_ms": pd.array([m[4] for m in metas], dtype="Int64"),
                 }
             )
 

@@ -701,44 +701,58 @@ def text_stats_suite(spark, sf):
     "multimodal_meta",
     """
     SELECT doc_id,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 23 WHEN 2 THEN 14
-                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN doc_id % 509 + 1
-                ELSE octet_length(encode(text)) % 640 END AS BIGINT) AS width,
-           CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN doc_id % 389 + 1
-                ELSE octet_length(encode(text)) % 480 END AS BIGINT) AS height,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-                ELSE (CASE WHEN octet_length(encode(text)) = 0 THEN 'image'
-                           WHEN ascii(substr(text, 1, 1)) % 3 = 0 THEN 'image'
-                           WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio'
-                           ELSE 'video' END) END AS kind
+           CAST(CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 23 WHEN 2 THEN 14
+                WHEN 3 THEN 44 WHEN 4 THEN 132
+                ELSE octet_length(encode(text)) + 1 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 6 IN (0, 1, 2) THEN doc_id % 509 + 1
+                WHEN doc_id % 6 IN (3, 4) THEN NULL
+                ELSE (octet_length(encode(text)) + 1) % 640 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 6 IN (0, 1, 2) THEN doc_id % 389 + 1
+                WHEN doc_id % 6 IN (3, 4) THEN NULL
+                ELSE (octet_length(encode(text)) + 1) % 480 END AS BIGINT) AS height,
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' ELSE 'image' END AS kind,
+           CAST(CASE doc_id % 6
+                WHEN 3 THEN ((doc_id % 100000) + 1000) * 1000
+                            // (16000 * (doc_id % 5 + 1))
+                WHEN 4 THEN ((doc_id % 90000) + 1) * 1000 // (600 + doc_id % 1000)
+                ELSE NULL END AS BIGINT) AS duration_ms
     FROM documents
     """,
 )
 def multimodal_meta(spark, sf):
     """Binary-column metadata extraction through the real mapInPandas
-    plumbing. Three quarters of the docs carry SYNTHESIZED real image
-    containers (PNG / JPEG / GIF headers built from pure JVM expressions,
-    dimensions derived from doc_id) that the pure-Python header parser
-    (functions/multimodal.decode_image) must decode back; the rest carry
-    raw text bytes and take the deterministic non-image fallback. The
-    oracle recomputes the dimensions arithmetically — a parser that
-    misreads any header field hash-mismatches."""
+    plumbing. Five of six residue classes carry SYNTHESIZED real containers
+    built from pure JVM expressions with fields derived from doc_id — PNG /
+    JPEG / GIF images (dimensions), WAV audio (byte rate + data size) and
+    MP4 video (mvhd timescale + duration), r6 closing the audio/video
+    fallback gap — that the pure-Python header parsers
+    (functions/multimodal.decode_media) must decode back. The sixth class
+    carries raw text bytes PREFIXED WITH 0x00 so no printable-ASCII magic
+    (GIF87a/RIFF/ftyp) can ever sniff as a container (ADVICE r5), taking
+    the deterministic fallback. The oracle recomputes every field
+    arithmetically — a parser that misreads any header field
+    hash-mismatches."""
     d = load_table(spark, sf, "documents")
 
     def be(col, nbytes):  # fixed-width big-endian bytes of a non-negative int
         return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
 
-    def le16(col):
+    def le(col, nbytes):  # little-endian: byte k = (col >> 8k) & 0xff
         return F.unhex(
             F.concat(
-                F.lpad(F.hex(col % 256), 2, "0"),
-                F.lpad(F.hex((col / 256).cast("bigint") % 256), 2, "0"),
+                *[
+                    F.lpad(
+                        F.hex((col / F.lit(256**k)).cast("bigint") % 256), 2, "0"
+                    )
+                    for k in range(nbytes)
+                ]
             )
         )
 
-    w = (F.col("doc_id") % 509 + 1).cast("bigint")
-    h = (F.col("doc_id") % 389 + 1).cast("bigint")
+    i = F.col("doc_id")
+    w = (i % 509 + 1).cast("bigint")
+    h = (i % 389 + 1).cast("bigint")
     png = F.concat(  # sig + IHDR len/tag + dims + bit-depth/color + CRC = 33 B
         F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
         be(w, 4), be(h, 4),
@@ -750,13 +764,37 @@ def multimodal_meta(spark, sf):
         F.lit(b"\x01\x01\x11\x00\xff\xd9"),
     )
     gif = F.concat(  # header + LE16 logical-screen dims + trailer = 14 B
-        F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00\x3b")
+        F.lit(b"GIF89a"), le(w, 2), le(h, 2), F.lit(b"\x00\x00\x00\x3b")
+    )
+    # WAV: RIFF/WAVE with a 16-byte fmt chunk (PCM mono 16-bit) and a
+    # header-only data chunk (declared size, no sample bytes) = 44 B
+    sample_rate = (8000 * (i % 5 + 1)).cast("bigint")
+    byte_rate = (sample_rate * 2).cast("bigint")  # mono 16-bit: block align 2
+    data_size = ((i % 100000) + 1000).cast("bigint")
+    wav = F.concat(
+        F.lit(b"RIFF"), le(data_size + 36, 4),
+        F.lit(b"WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"),
+        le(sample_rate, 4), le(byte_rate, 4),
+        F.lit(b"\x02\x00\x10\x00data"), le(data_size, 4),
+    )
+    # MP4: ftyp(16) + moov(8) wrapping a full 108-byte version-0 mvhd —
+    # timescale/duration at body offsets 12/16, zero padding after = 132 B
+    timescale = (600 + i % 1000).cast("bigint")
+    dur_units = ((i % 90000) + 1).cast("bigint")
+    mp4 = F.concat(
+        F.lit(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"),
+        F.lit(b"\x00\x00\x00\x74moov\x00\x00\x00\x6cmvhd"),
+        F.lit(b"\x00" * 12),  # version/flags + ctime + mtime
+        be(timescale, 4), be(dur_units, 4),
+        F.lit(b"\x00" * 80),  # rate/volume/reserved/matrix/predef/next_track
     )
     payload = (
-        F.when(F.col("doc_id") % 4 == 0, png)
-        .when(F.col("doc_id") % 4 == 1, jpeg)
-        .when(F.col("doc_id") % 4 == 2, gif)
-        .otherwise(F.encode("text", "UTF-8"))
+        F.when(i % 6 == 0, png)
+        .when(i % 6 == 1, jpeg)
+        .when(i % 6 == 2, gif)
+        .when(i % 6 == 3, wav)
+        .when(i % 6 == 4, mp4)
+        .otherwise(F.concat(F.lit(b"\x00"), F.encode("text", "UTF-8")))
     )
     return extract_media_meta(d.select("doc_id", payload.alias("payload")))
 
