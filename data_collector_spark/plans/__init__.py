@@ -28,7 +28,11 @@ DRIVER_EXPORT = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_exact",
-    "dedup_jaccard_words",
+    # dedup_jaccard_words' exact-word-set-baseline slot went to the r6
+    # composed packing+leakage row (VERDICT r5 next #1); the baseline stays
+    # registered and parity-mirror-checked, and MinHash remains the
+    # driver-checked scale path for the same operator family
+    "packing_leakage_suite",    # sequence_packing + split_leakage_audit
     "dedup_embedding_cosine",
     "dedup_ngram3_jaccard",
     "ann_cosine_topk",

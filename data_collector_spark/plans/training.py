@@ -560,10 +560,11 @@ def text_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
-@query(
-    "pii_redaction",
-    r"""
-    WITH synth AS (
+# shared PII CTE block (no leading WITH): the synthesized PII-bearing
+# contact string + the three-stage replacement chain, reused verbatim by
+# the standalone pii_redaction row and the composed pipeline oracle
+_PII_CTES = r"""
+    psynth AS (
       SELECT doc_id,
              'contact user' || CAST(doc_id AS VARCHAR) || '@mail'
                || CAST(doc_id % 7 AS VARCHAR) || '.example.org or 10.'
@@ -572,38 +573,28 @@ def text_fingerprint(spark, sf):
                || CAST(doc_id AS VARCHAR) || ' end ' || substr(text, 1, 40) AS s
       FROM documents
     ),
-    r1 AS (SELECT doc_id, s,
+    pr1 AS (SELECT doc_id, s,
                   len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
                   regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
-           FROM synth),
-    r2 AS (SELECT doc_id, c1,
+           FROM psynth),
+    pr2 AS (SELECT doc_id, c1,
                   len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
                   regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2
-           FROM r1),
-    r3 AS (SELECT doc_id, c1, c2,
+           FROM pr1),
+    pii AS (SELECT doc_id, c1, c2,
                   len(regexp_extract_all(s2, '\+\d[\d ]{7,}\d\b')) AS c3,
                   regexp_replace(s2, '\+\d[\d ]{7,}\d\b', '<PHONE>', 'g') AS s3
-           FROM r2)
-    SELECT doc_id, s3 AS redacted, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
-    FROM r3
-    """,
-)
-def pii_redaction(spark, sf):
-    """C4/Dolma-style PII scrub (emails, IPv4, + international phone runs
-    to typed placeholders). The corpus text carries no PII, so the query
-    SYNTHESIZES a deterministic PII-bearing string from doc_id (the same
-    trick multimodal_meta uses for image containers) prepended to a text
-    slice — the oracle replays the construction, the replacement chain,
-    and the per-class hit counts, so a regex divergence between engines
-    hash-mismatches."""
-    from data_collector_spark.functions.textstats import (
-        pii_hit_count_col,
-        redact_pii_col,
-    )
+           FROM pr2)
+"""
 
-    d = load_table(spark, sf, "documents")
+
+def _pii_synth_col():
+    """Deterministic PII-bearing contact string from doc_id + a text slice
+    (the corpus text carries no PII, so the redaction chain would be an
+    identity on it — the same synthesis trick multimodal_meta uses keeps
+    the chain discriminating under the driver gate)."""
     i = F.col("doc_id")
-    synth = F.concat(
+    return F.concat(
         F.lit("contact user"), i.cast("string"),
         F.lit("@mail"), (i % 7).cast("string"),
         F.lit(".example.org or 10."), (i % 256).cast("string"),
@@ -611,6 +602,29 @@ def pii_redaction(spark, sf):
         F.lit(".7 call +1 55500"), i.cast("string"),
         F.lit(" end "), F.substring("text", 1, 40),
     )
+
+
+@query(
+    "pii_redaction",
+    rf"""
+    WITH {_PII_CTES}
+    SELECT doc_id, s3 AS redacted, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
+    FROM pii
+    """,
+)
+def pii_redaction(spark, sf):
+    """C4/Dolma-style PII scrub (emails, IPv4, + international phone runs
+    to typed placeholders) over the synthesized contact string
+    (_pii_synth_col) — the oracle replays the construction, the
+    replacement chain, and the per-class hit counts, so a regex divergence
+    between engines hash-mismatches."""
+    from data_collector_spark.functions.textstats import (
+        pii_hit_count_col,
+        redact_pii_col,
+    )
+
+    d = load_table(spark, sf, "documents")
+    synth = _pii_synth_col()
     return d.select(
         "doc_id",
         redact_pii_col(synth).alias("redacted"),
@@ -618,24 +632,33 @@ def pii_redaction(spark, sf):
     )
 
 
+# shared repetition CTE block (no leading WITH; r-prefixed names so it
+# composes next to _NGRAM_CTES' toks): the Gopher word-level stats,
+# reused verbatim by the standalone row and the composed pipeline oracle
+_REP_CTES = r"""
+    rtoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''),
+    rwords AS (SELECT doc_id, unnest(ws) AS w FROM rtoks),
+    rwstats AS (SELECT doc_id, count(*) AS n, count(DISTINCT w) AS nd
+                FROM rwords GROUP BY 1),
+    rg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(ws) - 1),
+                                        i -> ws[i] || ' ' || ws[i+1])) AS g2
+           FROM rtoks WHERE len(ws) >= 2),
+    rgc AS (SELECT doc_id, g2, count(*) AS c FROM rg GROUP BY 1, 2),
+    rgs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM rgc GROUP BY 1),
+    rep AS (SELECT w.doc_id,
+                   round(1 - nd * 1.0 / n, 4) AS dup_word_frac,
+                   round(coalesce(top * 1.0 / tot, 0), 4) AS top_2gram_frac
+            FROM rwstats w LEFT JOIN rgs USING (doc_id))
+"""
+
+
 @query(
     "text_repetition_stats",
-    r"""
-    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                  FROM documents WHERE trim(text) <> ''),
-         words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-         wstats AS (SELECT doc_id, count(*) AS n, count(DISTINCT w) AS nd
-                    FROM words GROUP BY 1),
-         g AS (SELECT doc_id,
-                      unnest(list_transform(generate_series(1, len(ws) - 1),
-                                            i -> ws[i] || ' ' || ws[i+1])) AS g2
-               FROM toks WHERE len(ws) >= 2),
-         gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
-         gs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY 1)
-    SELECT w.doc_id,
-           round(1 - nd * 1.0 / n, 4) AS dup_word_frac,
-           round(coalesce(top * 1.0 / tot, 0), 4) AS top_2gram_frac
-    FROM wstats w LEFT JOIN gs USING (doc_id)
+    rf"""
+    WITH {_REP_CTES}
+    SELECT doc_id, dup_word_frac, top_2gram_frac FROM rep
     """,
 )
 def text_repetition_stats(spark, sf):
@@ -826,6 +849,14 @@ def embedding_norm_stats(spark, sf):
     )
 
 
+# Gopher repetition caps for the composed pipeline — picked against the
+# generator corpus' measured distribution (sf0.01: dup_word_frac p50 0.54
+# / p80 0.65 / p99 0.71; top_2gram_frac p50 0.033 / p95 0.087) so BOTH
+# caps actually discriminate: ~20% of docs exceed the dup cap, ~5% the
+# 2-gram cap — the oracle verifies real membership decisions, not no-ops
+_REP_DUP_CAP, _REP_TOP2_CAP = 0.65, 0.09
+
+
 @query(
     "training_filter_pipeline",
     rf"""
@@ -855,25 +886,48 @@ def embedding_norm_stats(spark, sf):
                    len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS de,
                    len(regexp_extract_all(text, '\b(le|et|la|les)\b')) AS fr
             FROM documents) s
-    )
-    SELECT f.doc_id, f.lang_pred, f.quality, CAST(f.n_tok AS BIGINT) AS n_tok
-    FROM feats f JOIN kept_ids k ON k.doc_id = f.doc_id
+    ),
+    {_REP_CTES},
+    {_PII_CTES}
+    SELECT f.doc_id, f.lang_pred, f.quality, CAST(f.n_tok AS BIGINT) AS n_tok,
+           r.dup_word_frac, r.top_2gram_frac,
+           md5(p.s3) AS redacted_fp, CAST(p.c1 + p.c2 + p.c3 AS BIGINT) AS n_pii
+    FROM feats f
+    JOIN kept_ids k ON k.doc_id = f.doc_id
+    JOIN rep r ON r.doc_id = f.doc_id
+    JOIN pii p ON p.doc_id = f.doc_id
     WHERE f.lang_pred = 'en' AND f.quality >= 0.5 AND f.n_tok BETWEEN 5 AND 100000
+      AND r.dup_word_frac <= {_REP_DUP_CAP} AND r.top_2gram_frac <= {_REP_TOP2_CAP}
       AND f.doc_id % {_DECONTAM_MOD} <> {_DECONTAM_RES}
       AND f.doc_id NOT IN (SELECT doc_id FROM contam)
     """,
 )
 def training_filter_pipeline(spark, sf):
     """The composed end-product: exact-dedup survivors filtered to
-    predicted-English, quality >= 0.5, sane token counts, then
-    DECONTAMINATED — the benchmark slice itself is excluded and so is any
-    doc sharing a distinct 13-gram with it (the GPT-3/Pile eval-overlap
-    rule) — the selection a web-text training pipeline actually ships.
-    One declarative plan: the dedup groupBy and the feature expressions
-    fuse under codegen; the survivor join broadcasts (one id per duplicate
-    group); the contamination probe is a broadcast of the benchmark's
-    distinct gram set followed by a left-anti join."""
+    predicted-English, quality >= 0.5, sane token counts, under the Gopher
+    repetition caps (dup-word / top-2-gram fractions — r6, folding
+    text_repetition_stats under the driver gate; cap decisions compare the
+    ROUNDED fractions on both engines per the oracle float discipline),
+    then DECONTAMINATED — the benchmark slice itself is excluded and so is
+    any doc sharing a distinct 13-gram with it (the GPT-3/Pile
+    eval-overlap rule) — with the survivors' contact field PII-REDACTED
+    (r6, folding the redaction chain under the driver gate: emitted as the
+    redacted-string fingerprint + per-doc hit count over the synthesized
+    PII-bearing contact column, _pii_synth_col) — the selection a web-text
+    training pipeline actually ships.
+
+    Plan shape: the dedup groupBy and the feature/PII expressions fuse
+    under codegen; the survivor and stats joins broadcast (bounded: one id
+    per duplicate group / one stats row per doc); the contamination probe
+    is a broadcast of the benchmark's distinct gram set followed by a
+    left-anti join; repetition stats are two exploded aggregations —
+    everything JVM-side, zero Python."""
     from data_collector_spark.functions.sketches import contaminated_docs
+    from data_collector_spark.functions.textstats import (
+        pii_hit_count_col,
+        redact_pii_col,
+        repetition_stats,
+    )
 
     d = load_table(spark, sf, "documents")
     kept = (
@@ -881,25 +935,35 @@ def training_filter_pipeline(spark, sf):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    synth = _pii_synth_col()
     feats = d.select(
         "doc_id",
         lang_id_col(F.col("text")).alias("lang_pred"),
         quality_score_col(F.col("text")).alias("quality"),
         token_count_col(F.col("text")).alias("n_tok"),
+        F.md5(redact_pii_col(synth)).alias("redacted_fp"),
+        pii_hit_count_col(synth).alias("n_pii"),
     )
+    rep = repetition_stats(d)
     bench = d.filter(F.col("doc_id") % _DECONTAM_MOD == _DECONTAM_RES)
     train = d.filter(F.col("doc_id") % _DECONTAM_MOD != _DECONTAM_RES)
     contam = contaminated_docs(train, bench, n=_DECONTAM_N).select("doc_id")
     return (
         feats.join(kept, "doc_id")
+        .join(rep, "doc_id")
         .filter(
             (F.col("lang_pred") == "en")
             & (F.col("quality") >= 0.5)
             & F.col("n_tok").between(5, 100000)
+            & (F.col("dup_word_frac") <= _REP_DUP_CAP)
+            & (F.col("top_2gram_frac") <= _REP_TOP2_CAP)
             & (F.col("doc_id") % _DECONTAM_MOD != _DECONTAM_RES)
         )
         .join(contam, "doc_id", "left_anti")
-        .select("doc_id", "lang_pred", "quality", "n_tok")
+        .select(
+            "doc_id", "lang_pred", "quality", "n_tok",
+            "dup_word_frac", "top_2gram_frac", "redacted_fp", "n_pii",
+        )
     )
 
 
@@ -1003,6 +1067,85 @@ def sequence_packing(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return pack_sequences(d, budget=2048)
+
+
+@query(
+    "packing_leakage_suite",
+    rf"""
+    WITH {_NGRAM_CTES},
+    split AS (SELECT doc_id,
+                     CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                               % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split
+              FROM documents),
+    tg AS (SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+           WHERE split = 'train'),
+    leak AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams
+             FROM grams g JOIN split s USING (doc_id) JOIN tg USING (g)
+             WHERE s.split = 'val' GROUP BY 1),
+    t AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents),
+    spans AS (SELECT t.doc_id, n,
+                     CAST(sum(n) OVER (PARTITION BY sp.split ORDER BY h, t.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM t JOIN split sp USING (doc_id) WHERE n > 0)
+    SELECT sp.doc_id, sp.split,
+           CAST(cum - n AS BIGINT) AS start_tok,
+           CAST((cum - n) // 2048 AS BIGINT) AS chunk_first,
+           CAST((cum - 1) // 2048 AS BIGINT) AS chunk_last,
+           l.n_leaked_grams
+    FROM split sp
+    LEFT JOIN spans USING (doc_id)
+    LEFT JOIN leak l USING (doc_id)
+    """,
+)
+def packing_leakage_suite(spark, sf):
+    """The composed train/val MATERIALIZATION pass (r6, folding
+    sequence_packing + split_leakage_audit under the driver gate as one
+    row — the two operators share the deterministic hash split): every
+    doc's split membership, its token span + chunk range in the PER-SPLIT
+    concat-and-chunk stream at max_seq_len 2048 (no chunk straddles the
+    split — a straddling chunk would leak val tokens into training
+    batches), and for val docs the count of distinct 13-grams shared with
+    ANY train doc (the eval-integrity audit).
+
+    Scale shape: packing runs the two-pass bucketed prefix-sum
+    decomposition (functions/packing.py — never a data-sized
+    single-partition window; the oracle computes ONE global window per
+    split, so the decomposition must be bit-identical), and the leakage
+    probe uses the gated contaminated_docs path (doc-count gate: broadcast
+    for eval-suite-sized probe sides, shuffle join for corpus splits).
+    Wordless docs keep their rows with NULL spans; unleaked docs carry
+    NULL counts."""
+    from data_collector_spark.functions.packing import pack_sequences
+    from data_collector_spark.functions.sketches import (
+        contaminated_docs,
+        word_hash_col,
+    )
+
+    d = load_table(spark, sf, "documents")
+    h = word_hash_col(F.col("doc_id").cast("string"))
+    d2 = d.withColumn("split", F.when(h % 100 < 90, "train").otherwise("val"))
+    spans = pack_sequences(
+        d2.select("doc_id", "text", "split"), budget=2048, partition_col="split"
+    )
+    train = d2.filter(F.col("split") == "train")
+    val = d2.filter(F.col("split") == "val")
+    leak = contaminated_docs(
+        val, train, n=_DECONTAM_N, broadcast_benchmark="auto"
+    ).select("doc_id", F.col("n_hit_grams").cast("long").alias("n_leaked_grams"))
+    return (
+        d2.select("doc_id", "split")
+        .join(spans, "doc_id", "left")
+        .join(leak, "doc_id", "left")
+        .select(
+            "doc_id", "split", "start_tok", "chunk_first", "chunk_last",
+            "n_leaked_grams",
+        )
+    )
 
 
 @query(
