@@ -229,48 +229,60 @@ def main() -> None:
         # any session dict carrying a measured efficiency (key names vary
         # by round: calibrated_run, heavy_corpus_run_1, ...)
         runs = [
-            v for _, v in sorted(s.items())
+            (k, v) for k, v in sorted(s.items())
             if isinstance(v, dict) and "scaling_efficiency" in v
         ]
         if runs:
-            # some recorded runs are raw-only (e.g. the spark-submit
-            # packaging check ships no inline kernels) — report their raw
-            # number but keep them out of the calibrated lists/verdict
-            calibrated = [
-                r for r in runs
-                if "hw_calibration" in r or "pass_calibrated" in r
+            # VERDICT r5 #2: verdicts are PER-SESSION with the rule named
+            # next to them — no single all-sessions boolean that can be
+            # read as disagreeing with BASELINE.md's session-by-session
+            # narrative. raw grades this box (shared-DRAM ceiling);
+            # calibrated grades the engine against that measured ceiling —
+            # kept separate per ADVICE r2, never OR-ed. Raw-only sessions
+            # (e.g. the spark-submit packaging check ships no inline
+            # kernels) carry null calibrated fields.
+            sessions = [
+                {
+                    "session": k,
+                    "raw_efficiency": v["scaling_efficiency"],
+                    "pass_raw": v.get("pass_raw", v.get("pass")),
+                    "hw_kernel_efficiency": (
+                        v["hw_calibration"]["hw_efficiency"]
+                        if "hw_calibration" in v else None
+                    ),
+                    "engine_relative_efficiency": v.get(
+                        "engine_relative_efficiency"
+                    ),
+                    "pass_calibrated": v.get("pass_calibrated"),
+                }
+                for k, v in runs
             ]
+            graded_raw = [x["pass_raw"] for x in sessions
+                          if x["pass_raw"] is not None]
+            graded_cal = [x["pass_calibrated"] for x in sessions
+                          if x["pass_calibrated"] is not None]
             out["scaling"] = {
                 "artifact": os.path.basename(scaling_path),
-                "raw_efficiency": [r["scaling_efficiency"] for r in runs],
-                "hw_kernel_efficiency": [
-                    r["hw_calibration"]["hw_efficiency"]
-                    for r in calibrated if "hw_calibration" in r
-                ],
-                "engine_relative_efficiency": [
-                    r["engine_relative_efficiency"]
-                    for r in calibrated if "engine_relative_efficiency" in r
-                ],
-                # raw grades this box (shared-DRAM ceiling); calibrated
-                # grades the engine against that measured ceiling — kept
-                # separate per ADVICE r2, never OR-ed. Verdicts are
-                # computed only over runs that recorded one (an ungraded
-                # raw-only run must neither default-fail pass_raw nor let
-                # an empty calibrated set vacuously pass) — null when no
-                # run was graded.
-                "pass_raw": (
-                    all(r.get("pass_raw", r.get("pass", False))
-                        for r in runs
-                        if "pass_raw" in r or "pass" in r)
-                    if any("pass_raw" in r or "pass" in r for r in runs)
-                    else None
+                "rule_raw": (
+                    "pass_raw := (throughput@4N / throughput@N) / 4 >= 0.8 "
+                    "per SESSION, taskset-pinned 2-vs-8 cores (grades the "
+                    "shared-DRAM box, not the engine)"
                 ),
-                "pass_calibrated": (
-                    all(r.get("pass_calibrated",
-                              r.get("engine_relative_efficiency", 0) >= 0.8)
-                        for r in calibrated)
-                    if calibrated
-                    else None
+                "rule_calibrated": (
+                    "pass_calibrated := raw efficiency / same-session "
+                    "extract-kernel hardware ceiling >= 0.8 per SESSION "
+                    "(grades the engine against the box's measured "
+                    "ceiling; never OR-ed with pass_raw)"
+                ),
+                "sessions": sessions,
+                "pass_raw_all_sessions": (
+                    all(graded_raw) if graded_raw else None
+                ),
+                "pass_calibrated_all_sessions": (
+                    all(graded_cal) if graded_cal else None
+                ),
+                "pass_calibrated_any_session": (
+                    any(graded_cal) if graded_cal else None
                 ),
             }
     print(json.dumps(out))

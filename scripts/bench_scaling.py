@@ -361,6 +361,18 @@ print("GENDONE")
         # number grades this box (shared DRAM, SMT), the calibrated one
         # grades the engine against the box's measured ceiling
         result["pass_calibrated"] = rel >= 0.8
+    # VERDICT r5 #2: name the rule NEXT TO each boolean so downstream
+    # artifacts (BENCH_rN.json, BASELINE.md) can't be read as disagreeing
+    # about what a "calibrated pass" means — every verdict is per-SESSION
+    result["rules"] = {
+        "pass_raw": "(urls_per_sec@coresB / urls_per_sec@coresA) / (coresB/"
+                    "coresA) >= 0.8 on THIS session (grades the shared-DRAM "
+                    "box, not the engine)",
+        "pass_calibrated": "engine_relative_efficiency = raw efficiency / "
+                           "extract-kernel hw ceiling (same session) >= 0.8 "
+                           "(grades the engine against the box's measured "
+                           "ceiling; never OR-ed with pass_raw)",
+    }
     print(json.dumps(result, indent=1))
 
 
