@@ -129,6 +129,14 @@ class CrawlConfig:
     # runs once per round (wave + deferred both branch from it); released
     # before each round returns. False = stateless plans (pre-r5 shape)
     cache_wave_stage: bool = True
+    # issue the independent per-round writes (fetch_log, frontier) and the
+    # lineage top-k from a thread pool instead of serially (r6): overlaps
+    # their fixed per-job costs — the serial-driver share that taxes the
+    # N->4N scaling bar. Results are byte-identical either way (pinned by
+    # test_parallel_writes_equivalent); False = the pre-r6 serial shape
+    # (also the safe setting for a catalog adapter whose commit protocol
+    # is not concurrency-safe — the default parquet round dirs are)
+    parallel_writes: bool = True
 
     def make_bloom(self):
         if not self.use_bloom:
@@ -398,6 +406,7 @@ def run_crawl(
                 link_prededup=link_prededup,
                 robots_broadcast=robots_broadcast,
                 cache_wave_stage=cfg.cache_wave_stage,
+                parallel_writes=cfg.parallel_writes,
             )
             # ADVICE r4, documented limit: the denominator is the
             # POST-canonicalization unique count, so invalid links (NULL

@@ -35,7 +35,12 @@ write actions as an ``Observation`` (CollectMetrics nodes inside the plans
 that must execute anyway) — the round runs a fixed number of Spark jobs
 (4 writes + 1 cached-candidate count + 1 lineage top-k + bloom build)
 regardless of data size, so the serial driver fraction stays flat as
-executors scale (the N-vs-4N efficiency bar in BASELINE.json).
+executors scale (the N-vs-4N efficiency bar in BASELINE.json). r6: the
+three of those jobs that are mutually independent once pages_out is
+written (fetch_log write, frontier write, lineage top-k) are issued
+concurrently from a thread pool by default (``parallel_writes``),
+overlapping their fixed scheduling/tail costs instead of paying them
+serially.
 
 The Bloom update lands *before* the manifest commit: a crash in between
 leaves extra bits set, which only causes false positives — and every
@@ -200,6 +205,7 @@ def run_round(
     link_prededup: bool = False,
     robots_broadcast: bool = True,
     cache_wave_stage: bool = True,
+    parallel_writes: bool = True,
 ) -> RoundMetrics:
     """Execute round N and write (but not commit) all round outputs.
 
@@ -341,12 +347,6 @@ def run_round(
         F.count(F.when(F.col("status") == "dead", 1)).alias("dead"),
         F.count(F.when(F.col("status") == "robots", 1)).alias("robots"),
     )
-    state.write_round("fetch_log", round_n, log)
-    lm = _obs_metrics(obs_log)
-    m.dead = _n(lm, "dead")
-    m.robots_blocked = _n(lm, "robots")
-    if daily_budget > 0 and rounds_per_day > 0:
-        update_host_spend(spark, state, round_n, rounds_per_day)
     # D6: re-enqueue dead URLs, next-eligible round per backoff family
     retries = None
     if retry_max > 0:
@@ -363,7 +363,6 @@ def run_round(
             .drop("seq_in_host")
             .observe(obs_retry, F.count(F.lit(1)).alias("n"))
         )
-    mark("fetch_log")
 
     # link extraction -> next-generation candidates
     links = fetched.select(
@@ -443,8 +442,51 @@ def run_round(
     frontier_next = frontier_next.observe(
         obs_frontier, F.approx_count_distinct("host").alias("hosts")
     )
-    state.write_round("frontier", round_n + 1, frontier_next)
-    mark("frontier_write")
+
+    def lineage_top():
+        # per-partition lineage: fetched rows per host (bounded: top 50) —
+        # a column-pruned scan of the just-written pages_out round
+        return (
+            fetched.groupBy("host").count()
+            .orderBy(F.desc("count"), "host").limit(50).collect()
+        )
+
+    top = None
+    if parallel_writes:
+        # The fetch_log write, the frontier write, and the lineage top-k
+        # are INDEPENDENT jobs once pages_out is on disk (the log reads
+        # wave+fetched, the frontier reads deferred/new_entries/held, the
+        # lineage reads fetched) — issuing them from a thread pool overlaps
+        # their fixed per-job costs (scheduling, small-stage tails that
+        # leave cores idle), the serial-driver share the N->4N scaling bar
+        # taxes. Each write is its own round-dir parquet job, so there is
+        # no shared mutable state; the persisted new_entries cache is
+        # materialized by the frontier job alone (seen/bloom read it
+        # AFTER, cache-fed), so no job races to fill the same cache.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_log = ex.submit(state.write_round, "fetch_log", round_n, log)
+            f_frontier = ex.submit(
+                state.write_round, "frontier", round_n + 1, frontier_next
+            )
+            f_top = ex.submit(lineage_top)
+            f_log.result()
+            f_frontier.result()
+            top = f_top.result()
+        mark("parallel_writes")
+        if daily_budget > 0 and rounds_per_day > 0:
+            update_host_spend(spark, state, round_n, rounds_per_day)
+    else:
+        state.write_round("fetch_log", round_n, log)
+        if daily_budget > 0 and rounds_per_day > 0:
+            update_host_spend(spark, state, round_n, rounds_per_day)
+        mark("fetch_log")
+        state.write_round("frontier", round_n + 1, frontier_next)
+        mark("frontier_write")
+    lm = _obs_metrics(obs_log)
+    m.dead = _n(lm, "dead")
+    m.robots_blocked = _n(lm, "robots")
 
     obs_seen = Observation()
     state.write_round(
@@ -485,12 +527,12 @@ def run_round(
             bloom.save(state.bloom_dir())
     mark("bloom")
 
-    # per-partition lineage: fetched rows per host (bounded: top 50) — a
-    # dedicated per-round job (column-pruned host scan); marked so the
-    # scaling attribution names it instead of folding it into driver_other
-    top = (
-        fetched.groupBy("host").count().orderBy(F.desc("count"), "host").limit(50).collect()
-    )
+    # per-partition lineage: computed inside the parallel block when
+    # parallel_writes is on, else a dedicated per-round job here; marked so
+    # the scaling attribution names it instead of folding it into
+    # driver_other
+    if top is None:
+        top = lineage_top()
     m.per_partition = {r["host"]: r["count"] for r in top}
     mark("lineage")
 

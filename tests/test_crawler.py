@@ -367,3 +367,38 @@ def test_counters_consistent(spark, tmp_path, corpus):
             + m.retried + m.recrawled
         )
         assert m.per_partition  # lineage populated
+
+
+def test_parallel_writes_equivalent(spark, tmp_path, corpus):
+    """r6: parallel_writes only changes WHEN the independent round writes
+    are issued (thread pool vs serial) — every artifact and counter must
+    be byte-identical to the serial shape."""
+    _, m_par, st_par = crawl(spark, tmp_path, corpus, "pw_on")
+    _, m_ser, st_ser = crawl(
+        spark, tmp_path, corpus, "pw_off",
+        CrawlConfig(max_rounds=3, parallel_writes=False),
+    )
+
+    def snap(st):
+        seen = sorted(r["url_sha1"] for r in st.read_all(spark, "seen").collect())
+        # robots rows carry NULL seq_in_host -> sort on stringified keys
+        log = sorted(
+            ((r["round"], r["host"], r["seq_in_host"], r["url_sha1"], r["status"])
+             for r in st.read_all(spark, "fetch_log").collect()),
+            key=lambda t: tuple(map(str, t)),
+        )
+        frontier = sorted(
+            (r["round"], r["url_sha1"], r["depth"], r["not_before_round"])
+            for r in st.read_all(spark, "frontier").collect()
+        )
+        return seen, log, frontier
+
+    assert snap(st_par) == snap(st_ser)
+    for a, b in zip(m_par, m_ser):
+        assert (a.fetched, a.dead, a.enqueued, a.deduped,
+                a.deferred_by_politeness, a.robots_blocked,
+                a.per_partition) == (
+            b.fetched, b.dead, b.enqueued, b.deduped,
+            b.deferred_by_politeness, b.robots_blocked, b.per_partition)
+    # no cache leaks from the threaded path either
+    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
