@@ -96,6 +96,18 @@ class RoundTableIO:
     implementation below IS the engine's parquet scheme; tests pin that a
     custom adapter passed via ``CrawlState(workdir, io=...)`` receives
     every round write/read of a real crawl (test_state_io.py).
+
+    Jars status (re-checked r6): no iceberg-spark-runtime jar exists
+    anywhere in the sandbox (/opt/spark/jars, no pyiceberg, no package
+    installs permitted), so an exercised hadoop-catalog smoke remains
+    BLOCKED ON JARS, not on engine shape — the seam's contract is pinned
+    by the adapter-pass-through crawl test and the storage-partitioned-
+    join plan tests instead. Note for cluster deployments: the engine
+    issues the fetch_log and frontier round writes CONCURRENTLY by
+    default (round.py parallel_writes) — they target different TABLES, so
+    Iceberg's per-table optimistic commit is unaffected; an adapter whose
+    commit protocol serializes across tables should run with
+    CrawlConfig(parallel_writes=False).
     """
 
     def __init__(self, state: "CrawlState"):
