@@ -39,7 +39,13 @@ DRIVER_EXPORT = [
     "text_stats_suite",         # lang-ID + quality + tokens + fingerprint + F16
     "training_filter_pipeline",  # + 13-gram benchmark decontamination (r5);
                                  # standalone `decontaminate` stays registry-only
-    "training_split",
+    # training_split's slot grew into the composed split+mixing row (r6):
+    # the same 90/10 hash-split semantics stay driver-checked through the
+    # suite (split is a projected column of every output row), plus the
+    # Pile/Dolma-style per-source mixing weights on the train side. The
+    # standalone training_split and source_mixing rows stay registered and
+    # parity-mirror-checked.
+    "mixing_split_suite",
     # relational §2 rows
     "q1_pricing_summary",       # A-family flagship
     "p1_validity_filter",       # P1/P2/P3/F15

@@ -993,6 +993,125 @@ def training_split(spark, sf):
     )
 
 
+# shared weights CTE (no leading WITH): per-source mixing weight in integer
+# parts-per-million, synthesized from the source-name hash so both engines
+# derive identical weights with no fixture file — 0.25x..2.5x in 0.25 steps
+# (downsampling, exact-integer, and fractional-upsample regimes all occur
+# on the test corpus' 20 sources).
+_MIX_W_CTE = """
+    mixw AS (SELECT source,
+                    250000 + (CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 10)
+                             * 250000 AS weight_ppm
+             FROM (SELECT DISTINCT source FROM documents))
+"""
+
+# copy count under a ppm weight: floor guaranteed copies + one more when
+# the doc's salted id hash lands under the fractional part (integer
+# threshold — the md5-affine cross-engine discipline).
+_MIX_N_SQL = """
+    mixw.weight_ppm // 1000000
+    + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)
+                % 1000000 < mixw.weight_ppm % 1000000
+           THEN 1 ELSE 0 END
+"""
+
+
+def _synth_mix_weights(d):
+    """(source, weight_ppm) synthesized from the source-name hash —
+    mirrors _MIX_W_CTE exactly."""
+    from data_collector_spark.functions.sketches import word_hash_col
+
+    return (
+        d.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(250_000) + (word_hash_col(F.col("source")) % 10)
+             * F.lit(250_000)).cast("long").alias("weight_ppm"),
+        )
+    )
+
+
+@query(
+    "source_mixing",
+    rf"""
+    WITH {_MIX_W_CTE}
+    SELECT d.doc_id, d.source,
+           CAST(unnest(generate_series(0, ({_MIX_N_SQL}) - 1)) AS BIGINT) AS copy
+    FROM documents d JOIN mixw USING (source)
+    """,
+)
+def source_mixing(spark, sf):
+    """Pile/Gopher/Dolma-style source mixing: per-source weights as
+    sampling rates (<1) and upsampling repeat factors (>1), applied as a
+    pure function of the doc id — floor(w) guaranteed copies plus one
+    more when the salted id hash lands under frac(w), carried as integer
+    ppm so no float threshold crosses the engine boundary. Weights table
+    is dimension-sized (one row per source family) and broadcast; the
+    document side is never shuffled. Reference: no mixing step exists in
+    the reference (it collects rather than composes training sets) — this
+    extends the training-data family like decontamination/packing did."""
+    from data_collector_spark.functions.mixing import mix_sources
+
+    d = load_table(spark, sf, "documents")
+    return mix_sources(d, _synth_mix_weights(d))
+
+
+@query(
+    "mixing_split_suite",
+    rf"""
+    WITH split AS (SELECT doc_id, source,
+                          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                                    % 100 < 90
+                               THEN 'train' ELSE 'val' END AS split
+                   FROM documents),
+    {_MIX_W_CTE},
+    tn AS (SELECT d.doc_id, d.source, d.split,
+                  {_MIX_N_SQL} AS n_copies
+           FROM split d JOIN mixw USING (source)
+           WHERE d.split = 'train')
+    SELECT doc_id, source, split,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy
+    FROM tn
+    UNION ALL
+    SELECT doc_id, source, split, CAST(0 AS BIGINT) AS copy
+    FROM split WHERE split = 'val'
+    """,
+)
+def mixing_split_suite(spark, sf):
+    """Composed split + mixing driver row (r6): the deterministic 90/10
+    hash split (training_split's semantics, now driver-checked through
+    this suite) with the train side re-weighted by the per-source mixing
+    weights — val is never resampled or upsampled (eval distributions
+    stay untouched), which is the shape a real pretraining pipeline
+    ships. One row per (doc, copy); val docs carry copy=0."""
+    from data_collector_spark.functions.mixing import mix_sources
+    from data_collector_spark.functions.sketches import word_hash_col
+
+    d = load_table(spark, sf, "documents")
+    h = word_hash_col(F.col("doc_id").cast("string"))
+    d = d.withColumn(
+        "split", F.when(h % 100 < 90, "train").otherwise("val")
+    )
+    train = d.filter(F.col("split") == "train")
+    val = d.filter(F.col("split") == "val")
+    mixed = mix_sources(
+        train.select("doc_id", "source"), _synth_mix_weights(d)
+    )
+    # mix_sources emits (id, source, copy); the train branch's split is
+    # 'train' by construction, so re-attach it as a literal
+    return (
+        mixed.select(
+            "doc_id", "source", F.lit("train").alias("split"), "copy"
+        )
+        .unionByName(
+            val.select(
+                "doc_id", "source", "split",
+                F.lit(0).cast("long").alias("copy"),
+            )
+        )
+    )
+
+
 @query(
     "split_leakage_audit",
     rf"""

@@ -1,0 +1,95 @@
+"""Source-mixing semantics pinned against an independent pure-Python
+recomputation (hashlib md5 — the same affine discipline the oracle uses),
+plus the invariants a mixing step must hold: determinism under
+repartitioning, val-side untouchability in the composed suite, and the
+explode guard for zero-copy rows (Spark's sequence() infers a NEGATIVE
+step when start > stop, so an unguarded explode would emit [0, -1])."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_collector_spark.functions.mixing import PPM, mix_sources
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _expected_copies(doc_id: int, weight_ppm: int) -> int:
+    extra = 1 if _h(f"{doc_id}:mix") % PPM < weight_ppm % PPM else 0
+    return weight_ppm // PPM + extra
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # four regimes: pure downsample, fractional upsample, exact integer,
+    # and zero weight (every row dropped)
+    weights = [("a", 250_000), ("b", 1_500_000), ("c", 2_000_000),
+               ("z", 0)]
+    docs = [(i, "abcz"[i % 4]) for i in range(400)]
+    return (
+        spark.createDataFrame(docs, "doc_id long, source string"),
+        spark.createDataFrame(weights, "source string, weight_ppm long"),
+        dict(weights),
+    )
+
+
+def test_mixing_matches_pure_python(spark, corpus):
+    docs, weights, wmap = corpus
+    got = {
+        (r.doc_id, r.copy)
+        for r in mix_sources(docs, weights).collect()
+    }
+    exp = {
+        (i, c)
+        for i in range(400)
+        for c in range(_expected_copies(i, wmap["abcz"[i % 4]]))
+    }
+    assert got == exp
+    # the regimes actually occurred: some a-docs dropped, every c-doc
+    # exactly twice, some b-docs twice
+    n_a = len({d for d, _ in got if d % 4 == 0})
+    assert 0 < n_a < 100
+    assert len([1 for d, _ in got if d % 4 == 2]) == 200
+    assert not any(d % 4 == 3 for d, _ in got)  # weight 0 -> gone
+
+
+def test_mixing_deterministic_under_repartition(spark, corpus):
+    docs, weights, _ = corpus
+    a = sorted(map(tuple, mix_sources(docs, weights).collect()))
+    b = sorted(map(tuple,
+                   mix_sources(docs.repartition(7), weights).collect()))
+    assert a == b
+
+
+def test_mixing_copy_never_negative(spark, corpus):
+    # the sequence() step guard: no [0, -1] artifacts from zero-copy rows
+    docs, weights, _ = corpus
+    assert (
+        mix_sources(docs, weights).filter(F.col("copy") < 0).count() == 0
+    )
+
+
+def test_mixing_split_suite_val_untouched(spark, sf_dir):
+    from data_collector_spark.plans import QUERIES
+
+    out = QUERIES["mixing_split_suite"](spark, sf_dir)
+    val = out.filter(F.col("split") == "val")
+    # val docs: exactly one row each, copy always 0 (never resampled or
+    # upsampled), and the doc set equals training_split's val side
+    assert val.filter(F.col("copy") != 0).count() == 0
+    assert val.groupBy("doc_id").count().filter("count > 1").count() == 0
+    split_val = (
+        QUERIES["training_split"](spark, sf_dir)
+        .filter(F.col("split") == "val")
+    )
+    assert (
+        val.select("doc_id").exceptAll(split_val.select("doc_id")).count()
+        == 0
+    )
+    assert (
+        split_val.select("doc_id").exceptAll(val.select("doc_id")).count()
+        == 0
+    )
