@@ -196,6 +196,12 @@ def build_training_set(
     SPLIT (train and val are separate streams, so no chunk straddles the
     split and leaks val tokens into training batches; zero-token docs
     get NULL spans — packing appends columns, never changes membership).
+
+    Source mixing (per-source sampling/upsampling weights) composes
+    DOWNSTREAM of this bridge rather than inside it — selection here,
+    distribution composition after: derive a source column (e.g. host
+    from url_canon) and apply ``functions.mixing.mix_sources`` to the
+    train split (test_webtext.py pins the composition).
     """
     from data_collector_spark.functions.sketches import (
         estimated_jaccard,

@@ -285,3 +285,34 @@ def test_latest_capture_wins_under_recrawl(spark, tmp_path):
         .join(lp.select(F.col("doc_id").alias("url_sha1"), "text"), "url_sha1")
     )
     assert joined.filter(F.col("want") != F.col("text")).count() == 0
+
+
+def test_mixing_composes_with_training_set(spark, crawl_wd):
+    """The bridge output composes with source mixing downstream: derive
+    the source (host) from url_canon, mix the TRAIN side only — the
+    training-distribution composition step a pretraining pipeline runs
+    after selection. Pins that bridge keys survive the mixing explode
+    (copy counts are a pure function of doc_id) and val is untouched."""
+    from data_collector_spark.functions.mixing import mix_sources
+
+    ts = build_training_set(
+        spark, crawl_wd, lang=None, min_quality=0.0, min_tokens=1
+    ).withColumn(
+        "source", F.regexp_extract("url_canon", r"^https?://([^/]+)/", 1)
+    )
+    weights = (
+        ts.select("source").distinct()
+        .select("source", F.lit(2_500_000).cast("long").alias("weight_ppm"))
+    )
+    train = ts.filter(F.col("split") == "train")
+    mixed = mix_sources(train, weights)
+    n_train = train.count()
+    n_mixed = mixed.count()
+    # weight 2.5: every train doc 2 or 3 copies, never anything else
+    assert 2 * n_train <= n_mixed <= 3 * n_train
+    per_doc = mixed.groupBy("doc_id").count()
+    assert per_doc.filter(~F.col("count").isin(2, 3)).count() == 0
+    # copies join back to the bridge's full rows losslessly
+    rejoined = mixed.join(ts, ["doc_id", "source"])
+    assert rejoined.count() == n_mixed
+    assert rejoined.filter(F.col("split") != "train").count() == 0
