@@ -69,7 +69,14 @@ def mix_sources(
     row per source family). The explode is guarded by a ``n_copies > 0``
     filter because Spark's ``sequence`` infers a NEGATIVE step when
     start > stop (sequence(0, -1) is [0, -1], not empty — unlike
-    DuckDB's generate_series, whose empty list unnests to no rows)."""
+    DuckDB's generate_series, whose empty list unnests to no rows).
+
+    Preconditions (deliberately not patched over): ``weights`` must be
+    unique on source — a duplicate weight row would multiply that
+    source's rows, and silently deduplicating would pick an arbitrary
+    winner among CONFLICTING weights. Sources absent from ``weights``
+    are dropped (inner join == weight 0): a mixing config that omits a
+    source has excluded it, the same convention as zero weight."""
     n = mixing_copies_col(F.col(id_col), F.col("weight_ppm"), salt=salt)
     return (
         docs.join(F.broadcast(weights), source_col)
