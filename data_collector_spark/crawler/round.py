@@ -465,12 +465,24 @@ def run_round(
         # AFTER, cache-fed), so no job races to fill the same cache.
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        # inheritable_thread_target: plain pool threads do NOT inherit the
+        # parent's JVM-thread-local properties under pinned-thread mode, so
+        # the three jobs would escape any spark.scheduler.pool / job group
+        # set by a pipeline runner (ADVICE r6) — wrap each callable so the
+        # submitting thread's local properties are captured and re-applied
+        # inside the worker thread
         with ThreadPoolExecutor(max_workers=3) as ex:
-            f_log = ex.submit(state.write_round, "fetch_log", round_n, log)
-            f_frontier = ex.submit(
-                state.write_round, "frontier", round_n + 1, frontier_next
+            f_log = ex.submit(
+                inheritable_thread_target(state.write_round),
+                "fetch_log", round_n, log,
             )
-            f_top = ex.submit(lineage_top)
+            f_frontier = ex.submit(
+                inheritable_thread_target(state.write_round),
+                "frontier", round_n + 1, frontier_next,
+            )
+            f_top = ex.submit(inheritable_thread_target(lineage_top))
             f_log.result()
             f_frontier.result()
             top = f_top.result()

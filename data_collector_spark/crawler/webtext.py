@@ -204,10 +204,9 @@ def build_training_set(
     train split (test_webtext.py pins the composition).
     """
     from data_collector_spark.functions.sketches import (
-        estimated_jaccard,
-        lsh_candidate_pairs,
+        lsh_near_pairs,
         minhash_signatures,
-        tokenize,
+        raw_words,
     )
 
     docs = latest_pages(spark, CrawlState(workdir))
@@ -223,11 +222,14 @@ def build_training_set(
     # 2. MinHash/LSH near-dedup: confirmed pairs (est. Jaccard >= t)
     #    resolve to losers per the chosen strategy (module docstring)
     if near_dup_threshold > 0:
-        words = tokenize(docs)
+        # raw occurrences: min() is multiplicity-invariant (r7, one less
+        # word-table shuffle than tokenize()'s distinct)
+        words = raw_words(docs)
         sig = minhash_signatures(words, n_perm=n_perm)
-        pairs = lsh_candidate_pairs(sig, n_perm=n_perm, bands=bands)
-        near = estimated_jaccard(sig, pairs, n_perm=n_perm).filter(
-            F.col("jaccard_est") >= near_dup_threshold
+        # fused signature-level candidates + first-band dedup + verify
+        # (r7, result-identical to lsh_candidate_pairs+estimated_jaccard)
+        near = lsh_near_pairs(
+            sig, n_perm=n_perm, bands=bands, threshold=near_dup_threshold
         )
         # components mode materializes its loser set to a side table under
         # the workdir so no iteration cache outlives this call (the

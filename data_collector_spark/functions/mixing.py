@@ -71,12 +71,28 @@ def mix_sources(
     start > stop (sequence(0, -1) is [0, -1], not empty — unlike
     DuckDB's generate_series, whose empty list unnests to no rows).
 
-    Preconditions (deliberately not patched over): ``weights`` must be
-    unique on source — a duplicate weight row would multiply that
-    source's rows, and silently deduplicating would pick an arbitrary
-    winner among CONFLICTING weights. Sources absent from ``weights``
-    are dropped (inner join == weight 0): a mixing config that omits a
+    Preconditions: ``weights`` must be unique on source — a duplicate
+    weight row would multiply that source's rows, and silently
+    deduplicating would pick an arbitrary winner among CONFLICTING
+    weights, so duplicates FAIL FAST here (r7, VERDICT r6 #6: the table
+    is dimension-sized, one aggregate over it is cheap insurance against
+    a silent corpus-skew bug). Sources absent from ``weights`` are
+    dropped (inner join == weight 0): a mixing config that omits a
     source has excluded it, the same convention as zero weight."""
+    dup = (
+        weights.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        names = ", ".join(repr(r[source_col]) for r in dup)
+        raise ValueError(
+            f"mix_sources: weights table has duplicate rows for source(s) "
+            f"{names} — weights must be unique per source (a duplicate row "
+            f"would silently multiply that source's output)"
+        )
     n = mixing_copies_col(F.col(id_col), F.col("weight_ppm"), salt=salt)
     return (
         docs.join(F.broadcast(weights), source_col)

@@ -135,27 +135,55 @@ def decode_wav(payload: bytes) -> int | None:
     return None
 
 
+def _box_extent(payload: bytes, pos: int, end: int) -> tuple[int, int] | None:
+    """(body_start, box_end) for the ISO-BMFF box at ``pos``, handling the
+    three legal size encodings: a plain 32-bit size, size==1 with a 64-bit
+    largesize after the type field, and size==0 meaning the box extends to
+    the end of the enclosure (ADVICE r6 — both are legal ISO-BMFF and real
+    MP4s use them; previously they fell through to fake_decode_meta, which
+    fabricated dimensions instead of reporting duration). None when
+    malformed."""
+    size = int.from_bytes(payload[pos : pos + 4], "big")
+    hdr = 8
+    if size == 1:
+        if pos + 16 > end:
+            return None
+        size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+        hdr = 16
+        if size < 16:
+            return None
+    elif size == 0:
+        size = end - pos
+    elif size < 8:
+        return None
+    return pos + hdr, min(pos + size, end)
+
+
 def decode_mp4(payload: bytes) -> int | None:
     """duration_ms from an ISO-BMFF (MP4) moov/mvhd box, else None.
 
     Top-level box walk to 'moov', child walk to 'mvhd'; version 0 carries
     timescale/duration as BE u32 at body offsets 12/16, version 1 as
-    BE u32/u64 at 20/24 (64-bit create/modify times push them back)."""
+    BE u32/u64 at 20/24 (64-bit create/modify times push them back).
+    Box sizes go through ``_box_extent`` so 64-bit largesize and
+    to-end-of-file boxes parse instead of falling through."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         return None
     pos, n = 0, len(payload)
     while pos + 8 <= n:
-        size = int.from_bytes(payload[pos : pos + 4], "big")
-        if size < 8:
+        ext = _box_extent(payload, pos, n)
+        if ext is None:
             return None
+        body_start, box_end = ext
         if payload[pos + 4 : pos + 8] == b"moov":
-            cpos, cend = pos + 8, min(pos + size, n)
+            cpos, cend = body_start, box_end
             while cpos + 8 <= cend:
-                csize = int.from_bytes(payload[cpos : cpos + 4], "big")
-                if csize < 8:
+                cext = _box_extent(payload, cpos, cend)
+                if cext is None:
                     return None
+                cbody, cbox_end = cext
                 if payload[cpos + 4 : cpos + 8] == b"mvhd":
-                    body = payload[cpos + 8 : cpos + csize]
+                    body = payload[cbody:cbox_end]
                     if not body:
                         return None
                     if body[0] == 0 and len(body) >= 20:
@@ -167,9 +195,13 @@ def decode_mp4(payload: bytes) -> int | None:
                     else:
                         return None
                     return dur * 1000 // ts if ts > 0 else None
-                cpos += csize
+                if cbox_end <= cpos:
+                    return None
+                cpos = cbox_end
             return None
-        pos += size
+        if box_end <= pos:
+            return None
+        pos = box_end
     return None
 
 

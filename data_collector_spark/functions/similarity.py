@@ -41,12 +41,20 @@ def _quantized(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long"))
 
 
+def _dot_col(a, b):
+    """Left-to-right fold dot product (the exact summation order
+    cosine_col always used — FP-identical wherever it is evaluated)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm_col(a):
+    """L2 norm, same fold order as cosine_col's inline norms."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
 def cosine_col(a, b):
     """cos(a, b) over array<double> columns — built-ins only."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return _dot_col(a, b) / (_norm_col(a) * _norm_col(b))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -71,18 +79,26 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query. queries must be broadcast-small."""
+    """Exact cosine top-k per query. queries must be broadcast-small.
+
+    Norms are hoisted to per-row projections BEFORE the join (r7): the
+    cross join evaluated each side's norm once per PAIR, so every
+    candidate norm was recomputed |queries| times — only the dot product
+    is inherently per-pair. Same fold order, FP-identical sims."""
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe")
-    )
+    ).withColumn("_nq", _norm_col(F.col("qe")))
     c = candidates.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("ce")
-    )
+    ).withColumn("_nc", _norm_col(F.col("ce")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine_col(F.col("qe"), F.col("ce")).alias("sim"))
+        .select(
+            "q_id", "c_id",
+            (_dot_col(F.col("qe"), F.col("ce")) / (F.col("_nq") * F.col("_nc"))).alias("sim"),
+        )
     )
     return _topk(scored, k)
 
@@ -123,17 +139,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: bucket-equal candidates only, exact cosine re-rank."""
+    """ANN top-k: bucket-equal candidates only, exact cosine re-rank.
+    Norms hoisted before the bucket join (see brute_force_topk)."""
     qb = with_lsh_bucket(queries, dim, n_planes).select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe"), "bucket"
-    )
+    ).withColumn("_nq", _norm_col(F.col("qe")))
     cb = with_lsh_bucket(candidates, dim, n_planes).select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("ce"), "bucket"
-    )
+    ).withColumn("_nc", _norm_col(F.col("ce")))
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine_col(F.col("qe"), F.col("ce")).alias("sim"))
+        .select(
+            "q_id", "c_id",
+            (_dot_col(F.col("qe"), F.col("ce")) / (F.col("_nq") * F.col("_nc"))).alias("sim"),
+        )
     )
     return _topk(scored, k)
 
@@ -202,14 +222,17 @@ def ivf_topk(
     cents = ivf_centroid_rows(candidates, n_cells, id_col, vec_col)
     cq = with_ivf_cells(queries, cents, nprobe, vec_col).select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe"), "cell"
-    )
+    ).withColumn("_nq", _norm_col(F.col("qe")))
     cc = with_ivf_cells(candidates, cents, 1, vec_col).select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("ce"), "cell"
-    )
+    ).withColumn("_nc", _norm_col(F.col("ce")))
     scored = (
         cq.join(cc, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine_col(F.col("qe"), F.col("ce")).alias("sim"))
+        .select(
+            "q_id", "c_id",
+            (_dot_col(F.col("qe"), F.col("ce")) / (F.col("_nq") * F.col("_nc"))).alias("sim"),
+        )
         .dropDuplicates(["q_id", "c_id"])
     )
     return _topk(scored, k)

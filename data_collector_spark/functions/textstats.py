@@ -20,7 +20,10 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def marker_count(text: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+    # regexp_count == size(regexp_extract_all(..., 0)) — same java.util.regex
+    # non-overlapping left-to-right scan — without materializing the match
+    # array per row (r7, guide §1.2 per-task work)
+    return F.regexp_count(text, F.lit(pattern))
 
 
 def lang_id_col(text: Column) -> Column:
@@ -37,22 +40,27 @@ def lang_id_col(text: Column) -> Column:
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace tokens (empty string -> 0)."""
+    """Whitespace tokens (empty string -> 0).
+
+    Counted as separator RUNS + 1 instead of materializing the split
+    array (r7): after trim there are no leading/trailing separators, so
+    tokens == whitespace-run count + 1 for every non-empty string — the
+    same java.util.regex pass, none of the per-row array allocation."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
     ).cast("long")
 
 
 def bpe_ish_count_col(text: Column) -> Column:
     """BPE-ish unit count: letter runs, digit runs, single punctuation."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("long")
+    return F.regexp_count(text, F.lit(BPE_ISH_RE)).cast("long")
 
 
 def quality_score_col(text: Column) -> Column:
     """[0,1] heuristic: length saturation + stopword presence."""
     n_tokens = token_count_col(text).cast("double")
-    stop = F.size(F.regexp_extract_all(text, F.lit(STOPWORD_RE), 0)).cast("double")
+    stop = F.regexp_count(text, F.lit(STOPWORD_RE)).cast("double")
     stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
     len_sat = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
     return F.round(0.5 * len_sat + 0.5 * F.least(F.lit(1.0), 4.0 * stop_ratio), 4)
@@ -101,7 +109,7 @@ def pii_hit_count_col(text: Column) -> Column:
         return lambda nxt: count_from(i + 1, nxt)
 
     def count_from(i: int, cur: Column) -> Column:
-        c = F.size(F.regexp_extract_all(cur, F.lit(PII_PATTERNS[i][0]), 0))
+        c = F.regexp_count(cur, F.lit(PII_PATTERNS[i][0]))
         if i == len(PII_PATTERNS) - 1:
             return c  # the final replace would be dead — never build it
         return c + _bind(

@@ -28,10 +28,10 @@ from data_collector_spark.functions.similarity import (
 from data_collector_spark.functions.sketches import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
-    estimated_jaccard,
     exact_jaccard,
-    lsh_candidate_pairs,
+    lsh_near_pairs,
     minhash_signatures,
+    raw_words,
     simhash,
     simhash_near_pairs,
     tokenize,
@@ -255,20 +255,22 @@ def dedup_minhash_lsh(spark, sf):
     equi-join on band keys (never all-pairs), and verification is
     O(pairs x 32) on the signatures — exact word-set verification would
     multiply every spam-cluster pair by document length. The md5-affine
-    hash scheme is replayed verbatim by the DuckDB oracle."""
+    hash scheme is replayed verbatim by the DuckDB oracle.
+
+    r7: candidate generation + dedup + verification run fused at
+    DISTINCT-signature level (functions/sketches.lsh_near_pairs) — the
+    doc-level band join went quadratic on the template-heavy bench corpus
+    (2.35e9 candidate rows at 50k docs; 321-512 s measured) while the
+    same corpus has only 24k distinct signatures. Result-identical to the
+    lsh_candidate_pairs + estimated_jaccard composition (the oracle and
+    tests/test_dedup.py pin it). The signature build reads raw word
+    occurrences — min() is multiplicity-invariant, so tokenize()'s
+    distinct would be a wasted full shuffle of the word table."""
     d = load_table(spark, sf, "documents")
-    words = tokenize(d)
-    sig = minhash_signatures(words, n_perm=32).persist()
-    # size-aware broadcast: the signature table is persisted (band join +
-    # verify both read it), so this count is the cache materialization we
-    # pay anyway; under ~500k docs (~150 MB of signatures) broadcasting
-    # both probe sides beats shuffling the (much larger) pair stream —
-    # measured 2.8 s vs 4.5-5.1 s under AQE at sf0.1. Above the threshold
-    # (e.g. 10^10 docs) the join shuffles on id instead.
-    n_sig = sig.count()
-    cand = lsh_candidate_pairs(sig, n_perm=32, bands=8)
-    j = estimated_jaccard(sig, cand, n_perm=32, broadcast_sig=n_sig <= 500_000)
-    return j.filter(F.col("jaccard_est") >= 0.5).select(
+    words = raw_words(d)
+    sig = minhash_signatures(words, n_perm=32)
+    j = lsh_near_pairs(sig, n_perm=32, bands=8, threshold=0.5)
+    return j.select(
         "a_id", "b_id", F.round("jaccard_est", 4).alias("jaccard_est")
     )
 
@@ -276,14 +278,13 @@ def dedup_minhash_lsh(spark, sf):
 @query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf):
     """SimHash-60 near-dup pairs, Hamming <= 3, banded candidate join —
-    oracle replays the same 60-bit md5 hash and band split."""
+    oracle replays the same 60-bit md5 hash and band split.
+
+    r7: the (doc, word) count groupBy is gone — the bit-majority sums are
+    linear in cnt, so feeding each word OCCURRENCE with cnt=1 yields the
+    identical integer sums with one less shuffle of the word table."""
     d = load_table(spark, sf, "documents")
-    counted = (
-        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-    )
+    counted = raw_words(d).withColumn("cnt", F.lit(1))
     sigs = simhash(counted)
     return simhash_near_pairs(sigs, max_hamming=3).select(
         "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
@@ -1278,13 +1279,20 @@ def packing_leakage_suite(spark, sf):
 )
 def st_tumbling_window(spark, sf):
     """Tumbling 1h event-time window — the batch twin of the Structured
-    Streaming aggregation (streaming equivalence covered in pytest)."""
+    Streaming aggregation (streaming equivalence covered in pytest).
+
+    r7: the grouping key is date_trunc('hour') rather than the
+    window() struct — identical window_start for epoch-aligned 1 h
+    tumbling windows (exactly what the oracle computes), with a plain
+    timestamp group key instead of a struct through the aggregate."""
     ev = load_table(spark, sf, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select("window_start", "event_type", "n", "sum_value")
     )

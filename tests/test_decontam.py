@@ -82,6 +82,53 @@ def test_auto_gate_both_regimes_match(spark):
     assert large == expected
 
 
+def test_auto_gate_token_volume_triggers_shuffle(spark):
+    """VERDICT r6 #3: the auto gate must bound gram VOLUME, not just doc
+    count — FEW very long docs (grams scale with tokens) must take the
+    shuffle branch even when the doc count is under the doc cap, with
+    rows identical to the broadcast branch."""
+    long_text = " ".join(f"b{i % 20}x{i}" for i in range(500))  # 500 tokens
+    bench = spark.createDataFrame(
+        [(100, long_text), (101, BENCH_TEXT)], "doc_id long, text string"
+    )
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(5, long_text)], "doc_id long, text string")
+    )
+    expected = sorted(map(tuple, contaminated_docs(docs, bench, n=13).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 2 docs pass the 10-doc cap, but 520 tokens > 100 -> shuffle
+        gated = contaminated_docs(
+            docs, bench, n=13, broadcast_benchmark="auto",
+            broadcast_max_docs=10, broadcast_max_tokens=100,
+        )
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(map(tuple, gated.collect())) == expected
+        # raise the token cap -> broadcast again
+        loose = contaminated_docs(
+            docs, bench, n=13, broadcast_benchmark="auto",
+            broadcast_max_docs=10, broadcast_max_tokens=10_000,
+        )
+        assert "BroadcastHashJoin" in (
+            loose._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_benchmark_rejects_unknown_strings(spark):
+    """ADVICE r6: any string other than 'auto' must raise, not silently
+    take the always-broadcast branch."""
+    import pytest
+
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+    for bad in ("Auto", "shuffle", "false"):
+        with pytest.raises(ValueError, match="broadcast_benchmark"):
+            contaminated_docs(_docs(spark), bench, n=13, broadcast_benchmark=bad)
+
+
 def test_auto_gate_plan_shape(spark):
     """Above the gate the probe plans as a shuffle join (no
     BroadcastHashJoin for the gram join); below it, broadcast. Auto-

@@ -93,3 +93,14 @@ def test_mixing_split_suite_val_untouched(spark, sf_dir):
         split_val.select("doc_id").exceptAll(val.select("doc_id")).count()
         == 0
     )
+
+
+def test_mixing_duplicate_weight_rows_fail_fast(spark, corpus):
+    """VERDICT r6 #6: a duplicate source row in the weights table must
+    raise instead of silently multiplying that source's output rows."""
+    docs, weights, _ = corpus
+    dup = weights.unionByName(
+        spark.createDataFrame([("b", 500_000)], "source string, weight_ppm long")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        mix_sources(docs, dup)

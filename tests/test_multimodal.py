@@ -141,6 +141,34 @@ def test_decode_mp4():
     assert decode_mp4(b"just text, no ftyp box here at all") is None
 
 
+def test_decode_mp4_largesize_and_to_eof_boxes():
+    """ADVICE r6: size==1 (64-bit largesize) and size==0 (box extends to
+    end of enclosure) are legal ISO-BMFF encodings — both must parse
+    instead of falling through to the fabricated fallback."""
+    base = mp4_bytes(600, 1200)
+    ftyp, moov = base[:16], base[16:]
+    # moov re-encoded with size==1 + largesize
+    moov_large = (
+        b"\x00\x00\x00\x01" + b"moov"
+        + struct.pack(">Q", 8 + len(moov))  # largesize includes 16B header
+        + moov[8:]
+    )
+    assert decode_mp4(ftyp + moov_large) == 2000
+    # moov with size==0: extends to end of file
+    moov_eof = b"\x00\x00\x00\x00" + b"moov" + moov[8:]
+    assert decode_mp4(ftyp + moov_eof) == 2000
+    # child mvhd with size==0 inside a normal moov
+    mvhd = moov[8:]
+    mvhd_eof = b"\x00\x00\x00\x00" + b"mvhd" + mvhd[8:]
+    moov_child_eof = struct.pack(">I", 8 + len(mvhd_eof)) + b"moov" + mvhd_eof
+    assert decode_mp4(ftyp + moov_child_eof) == 2000
+    # truncated largesize header stays None
+    assert decode_mp4(ftyp + b"\x00\x00\x00\x01moov\x00\x00") is None
+    # largesize smaller than its own 16-byte header: malformed
+    bad = b"\x00\x00\x00\x01" + b"moov" + struct.pack(">Q", 8) + moov[8:]
+    assert decode_mp4(ftyp + bad) is None
+
+
 def test_decode_media_dispatch():
     assert decode_media(png_bytes(3, 4)) == ("png", 3, 4, None)
     assert decode_media(wav_bytes(8000, 16000, 16000)) == ("wav", None, None, 1000)

