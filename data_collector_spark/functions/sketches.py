@@ -270,8 +270,9 @@ def lsh_near_pairs(
     #   to interpreted bytecode (22 s -> 405 s); a broadcast re-attach of
     #   the signatures verified per pair materializes 64 columns per
     #   candidate (~50 GB of row writes, 22 s on its own). The barrier
-    #   keeps every stage's expressions small: full query 28.5 s vs 79 s
-    #   (fused HOF verify) vs 321-512 s (doc-level band join, r6).
+    #   keeps every stage's expressions small: full query 27-46 s across
+    #   repeated runs (this box swings +/-30%) vs 68-79 s (fused HOF
+    #   verify) vs 321-512 s (doc-level band join, r6).
     npack = (rpb + 1) // 2
     hcols = [f"h{i}" for i in range(n_perm)]
     w = Window.partitionBy(*hcols)
@@ -280,10 +281,11 @@ def lsh_near_pairs(
         .select("_id", *hcols, F.min("_id").over(w).alias("_rep"))
         .persist()
     )
+    n_docs = withrep.count()  # materializes the cache up front — lazy
+    # fill inside the main action measured WORSE (convoying: six branches
+    # block on the same partition locks mid-job; 39 -> 48 s at sf1.0)
     if broadcast_docs is None:
-        broadcast_docs = withrep.count() <= 500_000
-    else:
-        withrep.count()  # materialize the cache once, same as the gate path
+        broadcast_docs = n_docs <= 500_000
 
     pexprs, pmeta = [], []  # pmeta: (band, slot) -> has a hi+lo or hi-only pack
     for bnd in range(bands):
@@ -295,7 +297,22 @@ def lsh_near_pairs(
             )
             pmeta.append((bnd, j, lo_exists))
     pcols = [f"_p{bnd}_{j}" for bnd, j, _ in pmeta]
-    repsp = withrep.filter(F.col("_id") == F.col("_rep")).select("_rep", *pexprs)
+    # widen the heavy stage explicitly: the rep table is tiny in BYTES
+    # (so AQE/scan splits coalesce it to a handful of partitions) but the
+    # band join fans it out quadratically within collision groups —
+    # hash-repartitioning the few-thousand-row rep table to
+    # 2x defaultParallelism costs nothing and pins the enumeration's
+    # parallelism to the machine instead of to the input's byte size
+    # (a parquet-backed rep table collapsed the whole 140M-pair stage to
+    # ONE task, 133 s vs 27 s; on the cached path the A/B is a wash
+    # within this box's +/-30% noise, kept as the scale-safe shape;
+    # scale-adaptive, never a hard-coded count)
+    par = 2 * sig.sparkSession.sparkContext.defaultParallelism
+    repsp = (
+        withrep.filter(F.col("_id") == F.col("_rep"))
+        .select("_rep", *pexprs)
+        .repartition(par, "_rep")
+    )
     banded = repsp.select(
         "_rep", *pcols,
         F.explode(
@@ -494,11 +511,18 @@ def simhash_near_pairs(
         .select("_id", "simhash", F.min("_id").over(w).alias("_rep"))
         .persist()
     )
+    n_docs = withrep.count()  # up-front cache materialization (see
+    # lsh_near_pairs: lazy fill convoys)
     if broadcast_docs is None:
-        broadcast_docs = withrep.count() <= 500_000
-    else:
-        withrep.count()
-    reps = withrep.filter(F.col("_id") == F.col("_rep")).select("_rep", "simhash")
+        broadcast_docs = n_docs <= 500_000
+    # repartition rationale: see lsh_near_pairs (tiny-bytes rep table,
+    # quadratic band fan-out)
+    par = 2 * sigs.sparkSession.sparkContext.defaultParallelism
+    reps = (
+        withrep.filter(F.col("_id") == F.col("_rep"))
+        .select("_rep", "simhash")
+        .repartition(par, "_rep")
+    )
     banded = reps.select(
         "_rep", "simhash",
         F.explode(
