@@ -42,13 +42,13 @@ def lang_id_col(text: Column) -> Column:
 def token_count_col(text: Column) -> Column:
     """Whitespace tokens (empty string -> 0).
 
-    Counted as separator RUNS + 1 instead of materializing the split
-    array (r7): after trim there are no leading/trailing separators, so
-    tokens == whitespace-run count + 1 for every non-empty string — the
-    same java.util.regex pass, none of the per-row array allocation."""
+    Kept as split+size: the "obvious" allocation-free rewrite
+    (regexp_count of separator runs + 1) measured ~20% SLOWER at sf1.0
+    (quality pass 1.57 -> 1.87 s, 5-sample A/B) — Spark's split fast-path
+    beats an extra full regex count pass despite the array it builds."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", 0).otherwise(
-        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
+        F.size(F.split(trimmed, r"\s+"))
     ).cast("long")
 
 
